@@ -1,0 +1,217 @@
+"""Vectorized token masking, signatures, and parameter extraction.
+
+Reproduces the observable semantics of the reference's default heuristic
+template extractor (`cpp/src/log_parser.cpp:192-232`): whitespace
+tokenization, then per-token ordered full-match classification
+
+    1. IPv4-ish  ``\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}``  -> ``<LOI>``
+    2. integer   ``\\d+``                                       -> ``<OBA>``
+    3. hex id    ``0x[0-9a-fA-F]+``                             -> ``<OID>``
+    4. alnum id  ``[a-zA-Z0-9_-]+\\d+`` (ends in digits)        -> ``<OID>``
+    5. otherwise the token is kept verbatim (static token).
+
+Parameter extraction mirrors `cpp/src/log_parser.cpp:290-325`: zip the
+raw tokens with the template tokens; wherever the template token contains
+a ``<TYPE>`` placeholder emit ``param_{i}_{TYPE} -> raw_token``; return an
+EMPTY map when the token counts differ.
+
+Two interchangeable implementations are provided and tested for equality:
+
+* :func:`mask_template_expr` — a pure Spark SQL expression
+  (``split`` + ``transform`` + ``CASE WHEN rlike``): stays inside JVM
+  whole-stage codegen, zero Python on the data path.  This is the
+  default hot path.
+* :func:`masked_template_udf` — an Arrow-batched pandas UDF with
+  precompiled regexes, for the "pandas/Arrow UDF tokenization" surface
+  required by the rebuild spec (no per-row Python crossing — one Arrow
+  batch per task).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+# Ordered (pattern, placeholder) rules; patterns are full-match anchored for
+# Spark `rlike` / DuckDB `regexp_full_match` parity (C++ uses regex_match,
+# i.e. whole-token match).
+MASK_RULES: list[tuple[str, str]] = [
+    (r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<LOI>"),
+    (r"\d+", "<OBA>"),
+    (r"0x[0-9a-fA-F]+", "<OID>"),
+    (r"[a-zA-Z0-9_-]+\d+", "<OID>"),
+]
+
+VAR_TYPES = ("OID", "LOI", "OBN", "TID", "SID", "TDA", "CRS", "OBA", "STC", "OTHER_PARAMS")
+
+# Substring-search pattern (regex_search semantics) used to decide whether a
+# template token is a variable placeholder (cpp/src/template_matcher.cpp:64-66).
+VAR_TOKEN_PATTERN = "<(" + "|".join(VAR_TYPES) + ")>"
+
+_COMPILED_RULES = [(re.compile(p), mask) for p, mask in MASK_RULES]
+
+
+def tokens_expr(text: Column | str) -> Column:
+    """Whitespace tokenization with C++ ``ss >> tok`` semantics: split on
+    runs of whitespace, no empty tokens for leading/trailing space."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.trim(c), r"\s+")
+    # trim("") -> split gives [""]; drop empties so empty text -> empty array
+    return F.filter(toks, lambda t: t != F.lit(""))
+
+
+def _mask_token_case(t: Column) -> Column:
+    expr = None
+    for pattern, mask in MASK_RULES:
+        cond = t.rlike(f"^(?:{pattern})$")
+        expr = F.when(cond, mask) if expr is None else expr.when(cond, mask)
+    return expr.otherwise(t)
+
+
+def masked_tokens_expr(text: Column | str) -> Column:
+    """array<string> of masked tokens — pure JVM expression."""
+    return F.transform(tokens_expr(text), _mask_token_case)
+
+
+def mask_template_expr(text: Column | str) -> Column:
+    """Masked template string (tokens joined by single spaces)."""
+    return F.concat_ws(" ", masked_tokens_expr(text))
+
+
+def signature_expr(template: Column | str) -> Column:
+    """64-bit stable signature of the masked template.  Equality of
+    signatures is the distributed stand-in for the reference's strict
+    prefix-tree match (SURVEY.md §2.3 P4)."""
+    c = F.col(template) if isinstance(template, str) else template
+    return F.xxhash64(c)
+
+
+def mask_template_py(text: str) -> str:
+    """Single-string Python reference implementation (shared by the
+    sequential oracle and the pandas UDF; must stay in lock-step with
+    :func:`mask_template_expr`)."""
+    out = []
+    for tok in text.split():
+        for rx, mask in _COMPILED_RULES:
+            if rx.fullmatch(tok):
+                out.append(mask)
+                break
+        else:
+            out.append(tok)
+    return " ".join(out)
+
+
+def make_masked_template_udf() -> Callable[[Column], Column]:
+    """Arrow-batched pandas UDF equivalent of :func:`mask_template_expr`."""
+
+    @F.pandas_udf(StringType())
+    def masked_template_udf(text: pd.Series) -> pd.Series:
+        return text.map(mask_template_py)
+
+    return masked_template_udf
+
+
+# ---------------------------------------------------------------------------
+# Parameter extraction (P11) — cpp/src/log_parser.cpp:290-325
+# ---------------------------------------------------------------------------
+
+def extract_params_py(text: str, template: str) -> dict[str, str]:
+    """Python reference implementation for the oracle."""
+    lt = text.split()
+    tt = template.split()
+    if len(lt) != len(tt):
+        return {}
+    out: dict[str, str] = {}
+    var_rx = re.compile(VAR_TOKEN_PATTERN)
+    for i, (raw, tpl) in enumerate(zip(lt, tt)):
+        m = var_rx.search(tpl)
+        if m:
+            out[f"param_{i}_{m.group(1)}"] = raw
+    return out
+
+
+def extract_params_expr(text: Column | str, template: Column | str) -> Column:
+    """map<string,string> of extracted parameters — pure JVM expression.
+
+    Zips raw and template token arrays positionally; emits entries only at
+    variable positions; yields an empty map when lengths differ (reference
+    behavior at cpp/src/log_parser.cpp:300-303).
+    """
+    lt = tokens_expr(text)
+    tt = tokens_expr(template)
+    var_type = lambda t: F.regexp_extract(t, VAR_TOKEN_PATTERN, 1)  # noqa: E731
+    idx = F.sequence(F.lit(0), F.size(tt) - 1)
+    entries = F.filter(
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.concat(
+                    F.lit("param_"), i.cast("string"), F.lit("_"), var_type(F.element_at(tt, i + 1))
+                ).alias("key"),
+                F.element_at(lt, i + 1).alias("value"),
+                (var_type(F.element_at(tt, i + 1)) != F.lit("")).alias("is_var"),
+            ),
+        ),
+        lambda s: s["is_var"],
+    )
+    entries = F.transform(entries, lambda s: F.struct(s["key"].alias("key"), s["value"].alias("value")))
+    return F.when(
+        F.size(lt) == F.size(tt), F.map_from_entries(entries)
+    ).otherwise(F.map_from_entries(F.array().cast("array<struct<key:string,value:string>>")))
+
+
+# ---------------------------------------------------------------------------
+# Template normalization (P14) and event-type inference (P15)
+# ---------------------------------------------------------------------------
+
+def normalize_template_expr(template: Column | str) -> Column:
+    """Typed placeholders -> ``<*>`` (src/core/eval.py:83-94)."""
+    c = F.col(template) if isinstance(template, str) else template
+    return F.regexp_replace(c, "<[^>]+>", "<*>")
+
+
+def normalize_template_py(template: str) -> str:
+    return re.sub(r"<[^>]+>", "<*>", template)
+
+
+def event_type_expr(template: Column | str) -> Column:
+    """ERROR/FAIL > WARN > DEBUG > INFO > UNKNOWN, on the upper-cased
+    template (src/core/parser_service.py:237-255)."""
+    up = F.upper(F.col(template) if isinstance(template, str) else template)
+    return (
+        F.when(up.contains("ERROR") | up.contains("FAIL"), "ERROR")
+        .when(up.contains("WARN"), "WARNING")
+        .when(up.contains("DEBUG"), "DEBUG")
+        .when(up.contains("INFO"), "INFO")
+        .otherwise("UNKNOWN")
+    )
+
+
+def event_type_py(template: str) -> str:
+    t = template.upper()
+    if "ERROR" in t or "FAIL" in t:
+        return "ERROR"
+    if "WARN" in t:
+        return "WARNING"
+    if "DEBUG" in t:
+        return "DEBUG"
+    if "INFO" in t:
+        return "INFO"
+    return "UNKNOWN"
+
+
+# DuckDB-side rendering of the same masking logic, used by the oracle SQL in
+# __spark_entry__.py so the correctness driver can replay the parse stage.
+def duckdb_mask_sql(text_col: str) -> str:
+    cases = " ".join(
+        f"WHEN regexp_full_match(t, '{p}') THEN '{m}'" for p, m in MASK_RULES
+    )
+    return (
+        f"array_to_string(list_transform(regexp_split_to_array(trim({text_col}), '\\s+'), "
+        f"t -> CASE {cases} ELSE t END), ' ')"
+    )

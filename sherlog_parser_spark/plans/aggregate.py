@@ -1,0 +1,62 @@
+"""Aggregate stage: per-sink template-frequency and windowed tool-usage.
+
+Counts (A1/A2/A3/A12 in SURVEY §2.4) are two-phase by construction in
+Spark (map-side partial aggregation), which already neutralizes Zipf
+skew for algebraic aggregates; ``salted_count`` adds an explicit
+two-level salted aggregation for use where per-key state is large
+(collect_set-style) or AQE is off — and is what the e2e pipeline uses on
+the hottest key, making the skew strategy visible and testable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def template_frequency(enriched: DataFrame) -> DataFrame:
+    """A1 — the primary correctness target (north_rule)."""
+    return enriched.groupBy("template_id", "template").agg(F.count("*").alias("frequency"))
+
+
+def salted_count(df: DataFrame, keys: list[str], salt_col: str = "conv_id", n_salts: int = 16) -> DataFrame:
+    """Two-level aggregation: groupBy(keys + salt).count, then sum —
+    explicit skew mitigation (SURVEY §4.2)."""
+    salt = F.pmod(F.xxhash64(salt_col), F.lit(n_salts)).alias("_salt")
+    partial = df.groupBy(*keys, salt).agg(F.count("*").alias("_partial"))
+    return partial.groupBy(*keys).agg(F.sum("_partial").alias("frequency"))
+
+
+def tool_usage_windowed(enriched: DataFrame, window: str = "1 hour") -> DataFrame:
+    """A12 — per-sink tool-usage counts in epoch-aligned tumbling windows
+    (== TimescaleDB time_bucket, src/core/timeseries.py:164-171)."""
+    return (
+        enriched.groupBy("template_id", "tool", F.window("ts", window).alias("w"))
+        .agg(F.count("*").alias("uses"))
+        .select(
+            "template_id",
+            "tool",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "uses",
+        )
+    )
+
+
+def hourly_level_counts(df: DataFrame, level_col: str = "event_type", window: str = "1 hour") -> DataFrame:
+    """A2 — time-bucketed counts per level/event-type."""
+    return (
+        df.groupBy(F.window("ts", window).alias("w"), level_col)
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), level_col, "n")
+    )
+
+
+def component_activity(df: DataFrame, comp_col: str, k: int = 10) -> DataFrame:
+    """A3 — global top-k most active components."""
+    return (
+        df.groupBy(comp_col)
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), comp_col)
+        .limit(k)
+    )

@@ -1,0 +1,35 @@
+"""Parse stage: vectorized masking + signature columns.
+
+The reference's per-row ``parse_log`` loop (cpp/src/log_parser.cpp:515-581)
+becomes two narrow column additions — no shuffle, fully pipelined inside
+the scan stage:
+
+    masked = mask(text)          # JVM expression (default) or Arrow UDF
+    sig    = xxhash64(masked)    # strict-match key (SURVEY §2.3 P4)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sherlog_parser_spark.functions.masking import (
+    make_masked_template_udf,
+    mask_template_expr,
+    signature_expr,
+)
+
+
+def parse_stage(df: DataFrame, text_col: str = "text", use_arrow_udf: bool = False) -> DataFrame:
+    """Append ``masked`` (heuristic template of the raw text) and ``sig``.
+
+    ``use_arrow_udf=True`` routes masking through the Arrow-batched pandas
+    UDF instead of the codegen expression; both are semantically identical
+    (tested) — the expression is the fast path, the UDF is the pluggable
+    boundary where an LLM/grok extractor would slot in.
+    """
+    if use_arrow_udf:
+        masked = make_masked_template_udf()(F.col(text_col))
+    else:
+        masked = mask_template_expr(F.col(text_col))
+    return df.withColumn("masked", masked).withColumn("sig", signature_expr(F.col("masked")))

@@ -1,0 +1,132 @@
+"""End-to-end parse → enrich → route → aggregate pipeline.
+
+One logical DAG (SURVEY §4.3 target plan):
+
+    scan transcripts
+      → parse_stage          (narrow: masked + sig columns, codegen)
+      → dictionary build     (1 hash-agg shuffle collapsing to ≤10^4 rows
+                              + driver merge + broadcast back)
+      → enrich_stage         (2 broadcast hash joins, map-side)
+      → route_stage          (fan-out partitioned write, salted,
+                              checkpointed in conv-bucket groups)
+      → aggregates           (template frequency / windowed tool usage
+                              over the routed sink)
+
+Checkpointing: the routed write commits in ``commit_groups`` disjoint
+conv-bucket groups with dynamic partition overwrite, so every group is
+idempotent and a killed run resumes by skipping committed groups
+(checkpoint.CheckpointManifest).  Row counts + a content fingerprint
+(sum of signatures) are observed ON the write job itself
+(pyspark Observation) — lineage metrics cost no extra pass.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from sherlog_parser_spark.checkpoint import CheckpointManifest
+from sherlog_parser_spark.data.dims import role_tool_dim
+from sherlog_parser_spark.plans.aggregate import template_frequency, tool_usage_windowed
+from sherlog_parser_spark.plans.dictionary import TemplateDictionary, build_template_dictionary
+from sherlog_parser_spark.plans.enrich import enrich_stage
+from sherlog_parser_spark.plans.parse import parse_stage
+from sherlog_parser_spark.plans.route import ROUTE_COLS, conv_bucket_expr
+
+
+@dataclass
+class PipelineResult:
+    routed_dir: str
+    manifest_path: str
+    dictionary: TemplateDictionary
+    n_rows: int
+    wall_sec: float
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    n_buckets: int = 8,
+    commit_groups: int = 4,
+    salt_buckets: int = 4,
+    use_arrow_udf: bool = False,
+    with_params: bool = True,
+    resume: bool = True,
+    write_aggregates: bool = True,
+) -> PipelineResult:
+    t_start = time.time()
+    routed_dir = os.path.join(out_dir, "routed")
+    manifest_path = os.path.join(out_dir, "_manifest.jsonl")
+
+    parsed = parse_stage(transcripts, use_arrow_udf=use_arrow_udf)
+    tdict = build_template_dictionary(parsed)
+    enriched = enrich_stage(parsed, tdict.df, role_tool_dim(spark), with_params=with_params)
+    routed = enriched.select(*ROUTE_COLS).withColumn(
+        "conv_bucket", conv_bucket_expr("conv_id", n_buckets)
+    )
+
+    if resume:
+        manifest = CheckpointManifest.load(manifest_path)
+    else:
+        import shutil
+
+        shutil.rmtree(routed_dir, ignore_errors=True)
+        if os.path.exists(manifest_path):
+            os.remove(manifest_path)
+        manifest = CheckpointManifest(manifest_path)
+    total_rows = 0
+    salt = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt_buckets))
+    for g in range(commit_groups):
+        unit = f"bucket_group={g}"
+        if manifest.is_committed(unit):
+            total_rows += manifest.entries[unit]["rows"]
+            continue
+        t0 = time.time()
+        obs = Observation(f"route_g{g}")
+        sub = routed.filter(F.pmod(F.col("conv_bucket"), F.lit(commit_groups)) == g).observe(
+            obs, F.count(F.lit(1)).alias("rows"), F.bit_xor(F.xxhash64("conv_id", "turn_idx")).alias("fp")
+        )
+        (
+            sub.repartition(F.col("template_id"), F.col("tool"), F.col("conv_bucket"), salt)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("template_id", "tool", "conv_bucket")
+            .parquet(routed_dir)
+        )
+        rows = int(obs.get["rows"])
+        fp = str(obs.get["fp"])
+        total_rows += rows
+        manifest.commit(unit, rows, fp, routed_dir, time.time() - t0)
+
+    if write_aggregates:
+        sink = spark.read.parquet(routed_dir)
+        template_frequency(sink).write.mode("overwrite").parquet(os.path.join(out_dir, "agg_template_freq"))
+        tool_usage_windowed(sink).write.mode("overwrite").parquet(os.path.join(out_dir, "agg_tool_usage"))
+
+    wall = time.time() - t_start
+    with open(os.path.join(out_dir, "run_metrics.json"), "w") as f:
+        json.dump(
+            {
+                "rows": total_rows,
+                "distinct_signatures": tdict.n_sigs,
+                "templates": len(tdict.templates),
+                "wall_sec": round(wall, 3),
+                "turns_per_sec": round(total_rows / wall, 1) if wall > 0 else None,
+                "manifest": manifest.metrics(),
+            },
+            f,
+            indent=2,
+        )
+    return PipelineResult(
+        routed_dir=routed_dir,
+        manifest_path=manifest_path,
+        dictionary=tdict,
+        n_rows=total_rows,
+        wall_sec=wall,
+    )

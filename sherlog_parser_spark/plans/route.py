@@ -1,0 +1,52 @@
+"""Route stage: fan-out write to per-template/per-tool sinks.
+
+The reference's per-upload table fan-out (src/ui/log_analyzer.py:39-59)
+generalized per north_rule: enriched turns land under
+
+    <root>/template_id=<T>/tool=<t>/conv_bucket=<b>/part-*.parquet
+
+``conv_bucket = pmod(xxhash64(conv_id), n_buckets)`` mirrors Iceberg's
+``bucket(N, conv_id)`` transform (parquet directory layout is the
+sandbox fallback for Iceberg — SURVEY §7.3.6; the write call is kept
+behind one function so an Iceberg ``writeTo(...).append()`` slots in).
+
+Skew: hot templates (Zipfian) are spread across writer tasks by
+repartitioning on the partition columns PLUS a salt derived from
+(conv_id, turn_idx), so one template does not serialize into one task;
+AQE skew handling remains on as backstop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ROUTE_COLS = ["conv_id", "turn_idx", "role", "tool", "ts", "text", "template_id", "template", "event_type"]
+
+
+def conv_bucket_expr(conv_id: Column | str, n_buckets: int) -> Column:
+    c = F.col(conv_id) if isinstance(conv_id, str) else conv_id
+    return F.pmod(F.xxhash64(c), F.lit(n_buckets)).cast("int")
+
+
+def route_stage(
+    enriched: DataFrame,
+    out_dir: str,
+    n_buckets: int = 8,
+    salt_buckets: int = 4,
+    mode: str = "overwrite",
+    extra_cols: list[str] | None = None,
+) -> None:
+    cols = ROUTE_COLS + (extra_cols or [])
+    routed = enriched.select(*cols).withColumn("conv_bucket", conv_bucket_expr("conv_id", n_buckets))
+    salt = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt_buckets))
+    (
+        routed.repartition(F.col("template_id"), F.col("tool"), F.col("conv_bucket"), salt)
+        .write.mode(mode)
+        .partitionBy("template_id", "tool", "conv_bucket")
+        .parquet(out_dir)
+    )
+
+
+def read_routed(spark, out_dir: str) -> DataFrame:
+    return spark.read.parquet(out_dir)

@@ -1,0 +1,71 @@
+"""End-to-end pipeline + checkpoint/resume semantics."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from sherlog_parser_spark.checkpoint import CheckpointManifest
+from sherlog_parser_spark.plans.pipeline import run_pipeline
+
+
+def _routed_fingerprint(spark, routed_dir):
+    df = spark.read.parquet(routed_dir)
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64("conv_id", "turn_idx", "template_id", "tool", "text")).alias("h"),
+    ).collect()[0]
+    return row["n"], row["h"]
+
+
+def test_pipeline_end_to_end(spark, transcripts, tmp_path):
+    out = str(tmp_path / "run1")
+    res = run_pipeline(spark, transcripts, out, commit_groups=3, resume=False)
+    assert res.n_rows == transcripts.count()
+    assert res.dictionary.n_sigs > len(res.dictionary.templates) > 10
+    # aggregates written and consistent with the sink
+    freq = spark.read.parquet(os.path.join(out, "agg_template_freq"))
+    assert freq.agg(F.sum("frequency")).collect()[0][0] == res.n_rows
+    metrics = json.load(open(os.path.join(out, "run_metrics.json")))
+    assert metrics["rows"] == res.n_rows
+    assert metrics["manifest"]["units"] == 3
+
+
+def test_pipeline_resume_skips_committed(spark, transcripts, tmp_path):
+    out = str(tmp_path / "run2")
+    # full run to get the golden sink fingerprint
+    run_pipeline(spark, transcripts, out, commit_groups=3, resume=False, write_aggregates=False)
+    golden = _routed_fingerprint(spark, os.path.join(out, "routed"))
+    golden_manifest = CheckpointManifest.load(os.path.join(out, "_manifest.jsonl"))
+
+    # simulate a crash after 1 of 3 commits: drop the last two manifest
+    # entries, leave the (possibly orphaned) files in place
+    mpath = os.path.join(out, "_manifest.jsonl")
+    lines = open(mpath).read().strip().splitlines()
+    with open(mpath, "w") as f:
+        f.write(lines[0] + "\n")
+
+    res = run_pipeline(
+        spark, transcripts, out, commit_groups=3, resume=True, write_aggregates=False
+    )
+    assert _routed_fingerprint(spark, os.path.join(out, "routed")) == golden
+    m2 = CheckpointManifest.load(mpath)
+    assert set(m2.entries) == set(golden_manifest.entries)
+    # unit 0 must NOT have been recomputed: entry identical incl. timestamp
+    assert m2.entries["bucket_group=0"] == golden_manifest.entries["bucket_group=0"]
+    assert res.n_rows == transcripts.count()
+
+
+def test_pipeline_arrow_udf_path_identical(spark, transcripts, tmp_path):
+    out_a = str(tmp_path / "expr")
+    out_b = str(tmp_path / "udf")
+    run_pipeline(spark, transcripts, out_a, commit_groups=1, resume=False, write_aggregates=False)
+    run_pipeline(
+        spark, transcripts, out_b, commit_groups=1, resume=False,
+        write_aggregates=False, use_arrow_udf=True,
+    )
+    assert _routed_fingerprint(spark, os.path.join(out_a, "routed")) == _routed_fingerprint(
+        spark, os.path.join(out_b, "routed")
+    )
