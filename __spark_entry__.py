@@ -1,38 +1,578 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: flagship entry, oracle-checked queries, DuckDB oracles.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is a Spark-first implementation of an operator
+from SURVEY.md §2 (or a training-data-pipeline extension); the matching
+``oracle_sql()`` string reproduces its semantics in DuckDB over the same
+parquet views (region nation customer supplier part orders lineitem
+events documents embeddings).
+
+Cross-engine determinism rules used throughout:
+* hashes are md5 hex strings (identical in both engines), never xxhash;
+* float aggregates are rounded (2-6 dp) before comparison;
+* every LIMIT is preceded by a total deterministic ORDER BY;
+* quantiles are exact linear-interpolated (Spark ``percentile`` ==
+  DuckDB ``quantile_cont``), matching the reference's lerp quantiles
+  (cpp/src/numeric_analysis.cpp:51-67).
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sherlog_parser_spark.data.events_logs import DUCK_LOGS_VIEW, logs_view
+from sherlog_parser_spark.functions import textstats as TS
+from sherlog_parser_spark.functions.masking import (
+    VAR_TYPES,
+    duckdb_mask_sql,
+    event_type_expr,
+    extract_params_expr,
+    mask_template_expr,
+    normalize_template_expr,
+)
+from sherlog_parser_spark.operators import dedup as DD
+from sherlog_parser_spark.operators import numeric as NUM
+from sherlog_parser_spark.operators import similarity as SIM
+
+VAR_ALT = "|".join(VAR_TYPES)
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return logs_view(_read(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: template-frequency mining (A1) over the log view derived
+    from sf0.001 events — parse (mask) -> cluster (sig groupBy) -> count."""
+    return q_template_freq(spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+# ---------------------------------------------------------------------------
+# parse / cluster family (on the derived log view)
+# ---------------------------------------------------------------------------
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+def q_template_freq(spark, sf_dir):
+    logs = _logs(spark, sf_dir)
+    return (
+        logs.withColumn("template", mask_template_expr("text"))
+        .groupBy("template")
+        .agg(F.count("*").alias("frequency"))
+    )
+
+
+def q_event_type_counts(spark, sf_dir):
+    logs = _logs(spark, sf_dir).withColumn("template", mask_template_expr("text"))
+    return logs.groupBy(event_type_expr("template").alias("event_type_inferred")).agg(
+        F.count("*").alias("n")
+    )
+
+
+def q_normalized_templates(spark, sf_dir):
+    logs = _logs(spark, sf_dir).withColumn("template", mask_template_expr("text"))
+    return (
+        logs.select(normalize_template_expr("template").alias("normalized"))
+        .groupBy("normalized")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_param_extract(spark, sf_dir):
+    logs = _logs(spark, sf_dir).filter(F.col("event_id") < 1000)
+    parsed = logs.withColumn("template", mask_template_expr("text")).withColumn(
+        "params", extract_params_expr("text", "template")
+    )
+    return parsed.select("event_id", F.explode("params").alias("param_name", "param_value"))
+
+
+def q_distinct_templates(spark, sf_dir):
+    logs = _logs(spark, sf_dir)
+    return logs.select(mask_template_expr("text").alias("t")).agg(
+        F.countDistinct("t").alias("n_templates")
+    )
+
+
+# ---------------------------------------------------------------------------
+# filters / aggregations on events (F1/F4, A2/A3/A6/A7, W2/W3, J3)
+# ---------------------------------------------------------------------------
+
+def q_hourly_counts(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def q_time_range_top(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts").between("2024-01-05 00:00:00", "2024-01-07 00:00:00"))
+        .select("event_id", "ts", "event_type")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(100)
+    )
+
+
+def q_top_event_types(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "event_type")
+        .limit(5)
+    )
+
+
+def q_level_set_filter(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type").isin("error", "signup"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def q_group_stats(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    s = NUM.group_numeric_stats(ev, ["event_type"], "value")
+    return s.select(
+        "event_type",
+        "n",
+        F.round("mean", 6).alias("mean"),
+        F.round("std", 6).alias("std"),
+        F.round("median", 6).alias("median"),
+        F.round("q1", 6).alias("q1"),
+        F.round("q3", 6).alias("q3"),
+        F.round("iqr", 6).alias("iqr"),
+    )
+
+
+def q_zscore_outliers(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return (
+        NUM.zscore_anomalies(ev, ["event_type"], "value", sigma=2.5)
+        .filter(F.col("is_anomaly"))
+        .select("event_id", "event_type")
+    )
+
+
+def q_iqr_outlier_counts(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return (
+        NUM.iqr_anomalies(ev, ["event_type"], "value", k=1.5)
+        .groupBy("event_type")
+        .agg(F.sum(F.col("is_anomaly").cast("int")).alias("n_outliers"))
+    )
+
+
+def q_window_count_stats(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    s = NUM.windowed_count_stats(ev, "ts", "1 hour")
+    return s.select(
+        F.round("mean_n", 6).alias("mean_n"),
+        F.round("std_n", 6).alias("std_n"),
+        F.round("p95_n", 6).alias("p95_n"),
+    )
+
+
+def q_numeric_field_discovery(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    fields = ev.select(
+        F.explode(
+            F.create_map(
+                F.lit("k"), F.get_json_object("props", "$.k"), F.lit("etype"), F.col("event_type")
+            )
+        ).alias("field", "v")
+    )
+    return (
+        fields.groupBy("field")
+        .agg(F.round(F.avg(F.col("v").try_cast("double").isNotNull().cast("int")), 6).alias("numeric_frac"))
+        .withColumn("is_numeric", F.col("numeric_frac") >= 0.8)
+    )
+
+
+def q_first_last_per_type(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    key = F.struct(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"), F.col("event_id").alias("e")
+    )
+    return ev.groupBy("event_type").agg(
+        F.min_by("event_id", key).alias("first_id"), F.max_by("event_id", key).alias("last_id")
+    )
+
+
+def q_train_test_split(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    n = ev.count()
+    cut = int(n * 0.7)
+    w = Window.orderBy("ts", "event_id")
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .withColumn("split", F.when(F.col("_rn") <= cut, "train").otherwise("test"))
+        .groupBy("split")
+        .agg(F.count("*").alias("n"), F.min("event_id").alias("min_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins (J4 analog) + TPC-H-ish
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_region_rollup(spark, sf_dir):
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+def q_component_extract(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    comp = F.element_at(TS._tokens("text"), 2)
+    return (
+        docs.select(comp.alias("component"))
+        .groupBy("component")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "component")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup / similarity / text analysis (training-data ops)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return DD.exact_dedup(docs, "text", "doc_id").select("doc_id")
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+
+
+def q_minhash_candidates(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return DD.minhash_dup_candidates(docs, "text", "doc_id", n=3, k=8, bands=4)
+
+
+def q_simhash(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return DD.simhash64(docs, "text", "doc_id")
+
+
+def q_embedding_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return SIM.brute_force_topk(emb, qv, k=10, exclude_id=0)
+
+
+def q_lsh_ann_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return SIM.lsh_ann_topk(emb, qv, k=10, planes=6, dims=64, exclude_id=0)
+
+
+def q_text_stats(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    # quality is emitted as floor(q*1e4 + 0.5) — an integer — because
+    # round() semantics diverge between engines exactly when q is a finite
+    # decimal (Spark rounds the binary double, DuckDB the decimal repr)
+    return docs.select(
+        "doc_id",
+        TS.lang_id_expr("text").alias("lang_pred"),
+        F.floor(TS.quality_score_expr("text") * 10000 + F.lit(0.5)).cast("long").alias("quality_x1e4"),
+        TS.ws_token_count_expr("text").alias("ws_tokens"),
+        TS.bpe_ish_token_count_expr("text").alias("bpe_tokens"),
+        TS.fingerprint_expr("text", 3).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_MASK = duckdb_mask_sql("text")
+_TOKS = TS.dd_tokens("text")
+
+_PARITIES = {
+    p: [
+        1.0 if hashlib.md5(f"hp{p}_{d}".encode()).hexdigest()[0] in "02468ace" else -1.0
+        for d in range(64)
+    ]
+    for p in range(6)
+}
+
+
+def _dd_dot(e1: str, e2: str) -> str:
+    return " + ".join(
+        f"CAST({e1}[{i}] AS DOUBLE) * CAST({e2}[{i}] AS DOUBLE)" for i in range(1, 65)
+    )
+
+
+def _dd_norm(e: str) -> str:
+    return "sqrt(" + " + ".join(f"CAST({e}[{i}] AS DOUBLE) * CAST({e}[{i}] AS DOUBLE)" for i in range(1, 65)) + ")"
+
+
+def _dd_plane_sign(p: int, e: str = "embedding") -> str:
+    terms = " + ".join(f"({_PARITIES[p][d]}) * CAST({e}[{d + 1}] AS DOUBLE)" for d in range(64))
+    return f"CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END"
+
+
+def _dd_bucket(e: str = "embedding") -> str:
+    return " || ".join(_dd_plane_sign(p, e) for p in range(6))
+
+
+_SHINGLES3 = (
+    f"CASE WHEN len(tk) >= 3 THEN list_transform(range(1, greatest(len(tk) - 2, 0) + 1), "
+    f"i -> (tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) ELSE [trim(text)] END"
+)
+
+_MINHASH_SIG = "[" + ", ".join(
+    f"list_min(list_transform(shingles, s -> md5('mh{i}|' || s)))" for i in range(8)
+) + "]"
+
+_SIMHASH_BITS = " + ".join(
+    f"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> {j}) & 1 = 1)) > len(hs) "
+    f"THEN (CAST(1 AS BIGINT) << {j}) ELSE CAST(0 AS BIGINT) END)"
+    for j in range(60)
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sw_hits_note = None  # noqa: F841
+    return {
+        "template_freq": (
+            f"SELECT {_MASK} AS template, count(*) AS frequency "
+            f"FROM {DUCK_LOGS_VIEW} GROUP BY 1"
+        ),
+        "event_type_counts": (
+            "SELECT CASE WHEN upper(t) LIKE '%ERROR%' OR upper(t) LIKE '%FAIL%' THEN 'ERROR' "
+            "WHEN upper(t) LIKE '%WARN%' THEN 'WARNING' "
+            "WHEN upper(t) LIKE '%DEBUG%' THEN 'DEBUG' "
+            "WHEN upper(t) LIKE '%INFO%' THEN 'INFO' ELSE 'UNKNOWN' END AS event_type_inferred, "
+            f"count(*) AS n FROM (SELECT {_MASK} AS t FROM {DUCK_LOGS_VIEW}) GROUP BY 1"
+        ),
+        "normalized_templates": (
+            f"SELECT regexp_replace({_MASK}, '<[^>]+>', '<*>', 'g') AS normalized, count(*) AS n "
+            f"FROM {DUCK_LOGS_VIEW} GROUP BY 1"
+        ),
+        "param_extract": (
+            "WITH z AS (SELECT event_id, "
+            f"list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS lt, "
+            f"list_filter(regexp_split_to_array(trim({_MASK}), '\\s+'), t -> t <> '') AS tt "
+            f"FROM {DUCK_LOGS_VIEW} WHERE event_id < 1000) "
+            "SELECT event_id, "
+            f"'param_' || CAST(i - 1 AS VARCHAR) || '_' || regexp_extract(tt[i], '<({VAR_ALT})>', 1) AS param_name, "
+            "lt[i] AS param_value "
+            "FROM z, UNNEST(range(1, len(tt) + 1)) AS u(i) "
+            f"WHERE regexp_matches(tt[i], '<({VAR_ALT})>')"
+        ),
+        "distinct_templates": (
+            f"SELECT count(DISTINCT {_MASK}) AS n_templates FROM {DUCK_LOGS_VIEW}"
+        ),
+        "hourly_counts": (
+            "SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type, count(*) AS n "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "time_range_top": (
+            "SELECT event_id, ts, event_type FROM events "
+            "WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-07 00:00:00' "
+            "ORDER BY ts DESC, event_id DESC LIMIT 100"
+        ),
+        "top_event_types": (
+            "SELECT event_type, count(*) AS n FROM events GROUP BY 1 ORDER BY n DESC, event_type LIMIT 5"
+        ),
+        "level_set_filter": (
+            "SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value FROM events "
+            "WHERE event_type IN ('error', 'signup') GROUP BY 1"
+        ),
+        "group_stats": (
+            "SELECT event_type, count(value) AS n, round(avg(value), 6) AS mean, "
+            "round(stddev_samp(value), 6) AS std, round(quantile_cont(value, 0.5), 6) AS median, "
+            "round(quantile_cont(value, 0.25), 6) AS q1, round(quantile_cont(value, 0.75), 6) AS q3, "
+            "round(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 6) AS iqr "
+            "FROM events GROUP BY 1"
+        ),
+        "zscore_outliers": (
+            "WITH s AS (SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd FROM events GROUP BY 1) "
+            "SELECT e.event_id, e.event_type FROM events e JOIN s USING (event_type) "
+            "WHERE s.sd > 0 AND abs(e.value - s.m) > 2.5 * s.sd"
+        ),
+        "iqr_outlier_counts": (
+            "WITH s AS (SELECT event_type, quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3 "
+            "FROM events GROUP BY 1) "
+            "SELECT e.event_type, sum(CASE WHEN e.value < s.q1 - 1.5 * (s.q3 - s.q1) "
+            "OR e.value > s.q3 + 1.5 * (s.q3 - s.q1) THEN 1 ELSE 0 END) AS n_outliers "
+            "FROM events e JOIN s USING (event_type) GROUP BY 1"
+        ),
+        "window_count_stats": (
+            "WITH w AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, count(*) AS n FROM events GROUP BY 1) "
+            "SELECT round(avg(n), 6) AS mean_n, round(stddev_samp(n), 6) AS std_n, "
+            "round(quantile_cont(CAST(n AS DOUBLE), 0.95), 6) AS p95_n FROM w"
+        ),
+        "numeric_field_discovery": (
+            "WITH f AS ("
+            "  SELECT 'k' AS field, json_extract_string(props, '$.k') AS v FROM events WHERE event_id < 100 "
+            "  UNION ALL SELECT 'etype', event_type FROM events WHERE event_id < 100) "
+            "SELECT field, round(avg(CASE WHEN try_cast(v AS DOUBLE) IS NOT NULL THEN 1 ELSE 0 END), 6) AS numeric_frac, "
+            "avg(CASE WHEN try_cast(v AS DOUBLE) IS NOT NULL THEN 1 ELSE 0 END) >= 0.8 AS is_numeric "
+            "FROM f GROUP BY 1"
+        ),
+        "first_last_per_type": (
+            "WITH r AS (SELECT event_type, event_id, "
+            "row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn_a, "
+            "row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn_d "
+            "FROM events) "
+            "SELECT event_type, max(CASE WHEN rn_a = 1 THEN event_id END) AS first_id, "
+            "max(CASE WHEN rn_d = 1 THEN event_id END) AS last_id FROM r GROUP BY 1"
+        ),
+        "train_test_split": (
+            "WITH r AS (SELECT event_id, row_number() OVER (ORDER BY ts, event_id) AS rn, "
+            "(SELECT count(*) FROM events) AS n FROM events) "
+            "SELECT CASE WHEN rn <= CAST(floor(n * 0.7) AS BIGINT) THEN 'train' ELSE 'test' END AS split, "
+            "count(*) AS n, min(event_id) AS min_id FROM r GROUP BY 1"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+            "round(avg(l_quantity), 6) AS avg_qty, count(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY 1, 2"
+        ),
+        "region_rollup": (
+            "SELECT r_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY 1"
+        ),
+        "component_extract": (
+            f"SELECT ({_TOKS})[2] AS component, count(*) AS n FROM documents "
+            "GROUP BY 1 ORDER BY n DESC, component LIMIT 10"
+        ),
+        "exact_dedup": (
+            "SELECT doc_id FROM documents d JOIN "
+            "(SELECT md5(text) AS h, min(doc_id) AS keep FROM documents GROUP BY 1) k "
+            "ON d.doc_id = k.keep"
+        ),
+        "ngram_jaccard_pairs": (
+            f"WITH toks AS (SELECT doc_id, {_TOKS} AS tk, text FROM documents), "
+            f"sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLES3})) AS shingle FROM toks), "
+            "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
+            "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) AS jaccard "
+            "FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+            "WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.2"
+        ),
+        "minhash_candidates": (
+            f"WITH toks AS (SELECT doc_id, {_TOKS} AS tk, text FROM documents), "
+            f"sh AS (SELECT doc_id, {_SHINGLES3} AS shingles FROM toks), "
+            f"sig AS (SELECT doc_id, {_MINHASH_SIG} AS sig FROM sh), "
+            "bands AS ("
+            "  SELECT doc_id, 0 AS band, md5(sig[1] || '|' || sig[2]) AS bucket FROM sig "
+            "  UNION ALL SELECT doc_id, 1, md5(sig[3] || '|' || sig[4]) FROM sig "
+            "  UNION ALL SELECT doc_id, 2, md5(sig[5] || '|' || sig[6]) FROM sig "
+            "  UNION ALL SELECT doc_id, 3, md5(sig[7] || '|' || sig[8]) FROM sig) "
+            "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a "
+            "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"
+        ),
+        "simhash": (
+            "WITH h AS (SELECT doc_id, "
+            f"list_transform(list_distinct({_TOKS}), t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hs "
+            "FROM documents WHERE doc_id < 200) "
+            f"SELECT doc_id AS id, ({_SIMHASH_BITS}) AS simhash FROM h"
+        ),
+        "embedding_topk": (
+            "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
+            f"SELECT vec_id, round(({_dd_dot('embedding', 'qv')}) / "
+            f"(({_dd_norm('embedding')}) * ({_dd_norm('qv')})), 6) AS cos "
+            "FROM embeddings, q WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10"
+        ),
+        "lsh_ann_topk": (
+            "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+            f"qb AS (SELECT {_dd_bucket('qv')} AS qbucket FROM q), "
+            f"cand AS (SELECT vec_id, embedding FROM embeddings, qb WHERE {_dd_bucket('embedding')} = qb.qbucket AND vec_id <> 0) "
+            f"SELECT vec_id, round(({_dd_dot('embedding', 'qv')}) / "
+            f"(({_dd_norm('embedding')}) * ({_dd_norm('qv')})), 6) AS cos "
+            "FROM cand, q ORDER BY cos DESC, vec_id LIMIT 10"
+        ),
+        "text_stats": (
+            f"WITH t AS (SELECT doc_id, text, {_TOKS} AS tk FROM documents) "
+            f"SELECT doc_id, {TS.dd_lang_id('text')} AS lang_pred, "
+            f"CAST(floor(({TS.dd_quality_score('text')}) * 10000 + 0.5e0) AS BIGINT) AS quality_x1e4, "
+            f"len(tk) AS ws_tokens, {TS.dd_bpe_count('text')} AS bpe_tokens, "
+            f"{TS.dd_fingerprint('tk', 'text', 3)} AS fingerprint FROM t"
+        ),
+    }
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "template_freq": q_template_freq,
+        "event_type_counts": q_event_type_counts,
+        "normalized_templates": q_normalized_templates,
+        "param_extract": q_param_extract,
+        "distinct_templates": q_distinct_templates,
+        "hourly_counts": q_hourly_counts,
+        "time_range_top": q_time_range_top,
+        "top_event_types": q_top_event_types,
+        "level_set_filter": q_level_set_filter,
+        "group_stats": q_group_stats,
+        "zscore_outliers": q_zscore_outliers,
+        "iqr_outlier_counts": q_iqr_outlier_counts,
+        "window_count_stats": q_window_count_stats,
+        "numeric_field_discovery": q_numeric_field_discovery,
+        "first_last_per_type": q_first_last_per_type,
+        "train_test_split": q_train_test_split,
+        "pricing_summary": q_pricing_summary,
+        "region_rollup": q_region_rollup,
+        "component_extract": q_component_extract,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_candidates": q_minhash_candidates,
+        "simhash": q_simhash,
+        "embedding_topk": q_embedding_topk,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "text_stats": q_text_stats,
+    }

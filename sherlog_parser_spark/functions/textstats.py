@@ -1,0 +1,196 @@
+"""Text-analysis functions for large-scale training-data pipelines:
+language ID (marker-set heuristic), quality scoring, token counting,
+document fingerprinting.  Every function has (a) a pure-JVM Spark
+expression and (b) a DuckDB SQL rendering with identical semantics so
+the correctness driver can oracle-check them value-for-value.
+
+Formulas are deliberately integer/ratio-based (counts over token
+arrays) and outputs are rounded to 4 decimals to keep cross-engine
+float drift out of the comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"],
+    "es": ["el", "la", "de", "y", "en", "es", "un", "una", "por", "con"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "mit", "von", "zu"],
+    "fr": ["le", "les", "et", "est", "une", "dans", "pour", "avec", "sur", "que"],
+}
+LANG_ORDER = ["en", "es", "de", "fr"]  # deterministic tie-break order
+CJK_PATTERN = "[\\x{4e00}-\\x{9fff}]"  # Java regex syntax; DuckDB uses RE2 form below
+PUNCT_CHARS = ".,;:!?'\"()[]{}-"
+BPE_ISH_PATTERN = r"[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]"
+
+
+def _tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != F.lit(""))
+
+
+def ws_token_count_expr(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(_tokens(text))
+
+
+def bpe_ish_token_count_expr(text: Column | str) -> Column:
+    """BPE-ish regex token count: word runs + individual non-word chars."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def punct_ratio_expr(text: Column | str) -> Column:
+    """Punctuation chars / total chars (0 for empty)."""
+    c = F.col(text) if isinstance(text, str) else text
+    # count punctuation by deleting everything else
+    punct_rx = "[^" + "".join("\\" + ch for ch in PUNCT_CHARS) + "]"
+    n_punct = F.length(F.regexp_replace(c, punct_rx, ""))
+    return F.when(F.length(c) > 0, n_punct.cast("double") / F.length(c)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio_expr(text: Column | str, lang: str = "en") -> Column:
+    toks = _tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS[lang])))
+    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score_expr(text: Column | str) -> Column:
+    """Composite quality score in [0,1]:
+    0.4·min(1, n_chars/500) + 0.3·(1 − punct_ratio) + 0.3·stopword_ratio(en)."""
+    c = F.col(text) if isinstance(text, str) else text
+    len_part = F.least(F.lit(1.0), F.length(c).cast("double") / F.lit(500.0))
+    return (
+        F.lit(0.4) * len_part
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio_expr(c))
+        + F.lit(0.3) * stopword_ratio_expr(c, "en")
+    )
+
+
+def lang_id_expr(text: Column | str) -> Column:
+    """Marker-set language ID: CJK chars -> zh; else the language whose
+    stopword set hits the most tokens (ties broken by LANG_ORDER);
+    'unknown' when nothing hits."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = _tokens(F.lower(c))
+    # one-arg lambdas only (pyspark dispatches on lambda arity)
+    def sw_hits(lang: str):
+        words = tuple(STOPWORDS[lang])
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    hits = {lang: sw_hits(lang) for lang in LANG_ORDER}
+    # explicit argmax chain (first language with max hits wins)
+    max_hits = F.greatest(*[hits[lang] for lang in LANG_ORDER])
+    expr = F.when(c.rlike(CJK_PATTERN), "zh")
+    for lang in LANG_ORDER:
+        expr = expr.when((max_hits > 0) & (hits[lang] == max_hits), lang)
+    return expr.otherwise("unknown")
+
+
+def word_shingles_expr(text: Column | str, n: int = 3) -> Column:
+    """Array of word n-gram shingle strings (space-joined)."""
+    toks = _tokens(text)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+    )
+
+
+def fingerprint_expr(text: Column | str, n: int = 3) -> Column:
+    """Document fingerprint: lexicographic min of md5 over word n-gram
+    shingles (rolling-hash-style winnowing with window = whole doc);
+    empty/short docs fall back to md5 of the trimmed text."""
+    c = F.col(text) if isinstance(text, str) else text
+    sh = word_shingles_expr(c, n)
+    return F.when(F.size(sh) > 0, F.array_min(F.transform(sh, F.md5))).otherwise(
+        F.md5(F.trim(c))
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB renderings (identical semantics, used by oracle_sql)
+# ---------------------------------------------------------------------------
+
+def dd_tokens(text_col: str, lower: bool = False) -> str:
+    inner = f"lower({text_col})" if lower else text_col
+    return (
+        f"list_filter(regexp_split_to_array(trim({inner}), '\\s+'), t -> t <> '')"
+    )
+
+
+def dd_ws_token_count(text_col: str) -> str:
+    return f"len({dd_tokens(text_col)})"
+
+
+def dd_bpe_count(text_col: str) -> str:
+    return f"len(regexp_extract_all({text_col}, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]'))"
+
+
+def dd_punct_ratio(text_col: str) -> str:
+    # escape for the regex class AND double the single quote for the SQL literal
+    cls = "".join(("\\" + ch if ch != "'" else "\\''") for ch in PUNCT_CHARS)
+    return (
+        f"CASE WHEN length({text_col}) > 0 THEN "
+        f"CAST(length(regexp_replace({text_col}, '[^{cls}]', '', 'g')) AS DOUBLE) / length({text_col}) "
+        f"ELSE 0.0 END"
+    )
+
+
+def _dd_sw_hits(text_col: str, lang: str) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+    return f"len(list_filter({dd_tokens(text_col, lower=True)}, t -> list_contains({arr}, t)))"
+
+
+def dd_stopword_ratio(text_col: str, lang: str = "en") -> str:
+    toks = dd_tokens(text_col, lower=True)
+    return (
+        f"CASE WHEN len({toks}) > 0 THEN CAST({_dd_sw_hits(text_col, lang)} AS DOUBLE) / len({toks}) "
+        f"ELSE 0.0 END"
+    )
+
+
+def dd_quality_score(text_col: str) -> str:
+    # e-notation forces DOUBLE literals (DuckDB parses 0.4 as DECIMAL,
+    # whose exact arithmetic drifts from Spark's double math at rounding
+    # boundaries)
+    return (
+        f"0.4e0 * least(1.0e0, CAST(length({text_col}) AS DOUBLE) / 500.0e0) "
+        f"+ 0.3e0 * (1.0e0 - ({dd_punct_ratio(text_col)})) "
+        f"+ 0.3e0 * ({dd_stopword_ratio(text_col)})"
+    )
+
+
+def dd_lang_id(text_col: str) -> str:
+    hits = {lang: _dd_sw_hits(text_col, lang) for lang in LANG_ORDER}
+    max_expr = "greatest(" + ", ".join(hits[lang] for lang in LANG_ORDER) + ")"
+    whens = " ".join(
+        f"WHEN {max_expr} > 0 AND {hits[lang]} = {max_expr} THEN '{lang}'" for lang in LANG_ORDER
+    )
+    return (
+        f"CASE WHEN regexp_matches({text_col}, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh' "
+        f"{whens} ELSE 'unknown' END"
+    )
+
+
+def dd_word_shingles(tokens_var: str, n: int = 3) -> str:
+    """Shingle list over an already-bound token-array variable/column
+    named ``tokens_var`` (bind it in a subquery: ``SELECT <dd_tokens(..)>
+    AS toks``).  Matches word_shingles_expr: i in [1, len-n+1]."""
+    parts = " || ' ' || ".join(f"{tokens_var}[i + {j}]" for j in range(n))
+    return (
+        f"list_transform(range(1, greatest(len({tokens_var}) - {n - 1}, 0) + 1), "
+        f"i -> ({parts}))"
+    )
+
+
+def dd_fingerprint(tokens_var: str, text_col: str, n: int = 3) -> str:
+    sh = dd_word_shingles(tokens_var, n)
+    return (
+        f"CASE WHEN len({tokens_var}) >= {n} THEN "
+        f"list_min(list_transform({sh}, s -> md5(s))) "
+        f"ELSE md5(trim({text_col})) END"
+    )

@@ -1,0 +1,201 @@
+"""Deduplication operators for training-data pipelines.
+
+All variants are DataFrame-declarative and scale-shaped:
+
+* exact        — hash groupBy, one shuffle on md5(text)
+* n-gram Jaccard — shingle explode + self-join on shingle (candidate
+                  generation is key-partitioned; no O(n^2) pass)
+* MinHash/LSH  — K independent min-hashes over shingles, banded into
+                  buckets; candidate pairs only within buckets
+* SimHash      — 64-bit sign-aggregated token hash, near-dups share
+                  the (rotated) prefix bucket
+* embedding    — cosine near-dup via self-join (small) or LSH buckets
+
+Hashes are md5-based (hex strings / hex->int) rather than xxhash64 so
+that the DuckDB correctness oracle can reproduce them bit-for-bit; at
+100 TB you would swap ``_minhash_one`` to xxhash64 for ~3x cheaper
+hashing — the operator shape (explode -> groupBy -> band join) is
+unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sherlog_parser_spark.functions.textstats import word_shingles_expr
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id row per exact text hash (deterministic winner)."""
+    h = F.md5(F.col(text_col)).alias("_h")
+    keep = df.select(h, F.col(id_col)).groupBy("_h").agg(F.min(id_col).alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, shingle) pairs, distinct per doc."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(word_shingles_expr(text_col, n))).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs sharing >=1 word n-gram, scored by exact Jaccard
+    over distinct shingle sets; returns (id_a, id_b, jaccard) with
+    id_a < id_b and jaccard >= threshold.
+
+    Plan shape: explode -> self equi-join on shingle (shuffle on the
+    shingle key, skew-salted by AQE) -> groupBy pair -> broadcast join
+    of per-doc shingle counts back.
+    """
+    sh = shingle_table(df, text_col, id_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(F.broadcast(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "na")), "id_a")
+        .join(F.broadcast(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "nb")), "id_b")
+        .withColumn("jaccard", F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 8,
+) -> DataFrame:
+    """(id, sig: array<string>) — k lexicographic min-md5 values over the
+    doc's shingles, salted per hash function.  Docs with < n tokens hash
+    the whole trimmed text as their single shingle."""
+    sh = word_shingles_expr(text_col, n)
+    sh = F.when(F.size(sh) > 0, sh).otherwise(F.array(F.trim(F.col(text_col))))
+
+    # NB: one-arg lambdas only — pyspark dispatches on lambda arity, so a
+    # default-arg closure (lambda s, _i=i: ...) would receive the array
+    # INDEX column as _i instead of the loop variable.
+    def salted_min(i: int):
+        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"mh{i}|"), s))))
+
+    sig = F.array(*[salted_min(i) for i in range(k)])
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def minhash_band_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band, bucket) — signature sliced into ``bands`` bands of
+    k/bands rows each; bucket = md5 of the band's concatenated rows.
+    Near-dups collide in >=1 band bucket."""
+    rows_per = k // bands
+    sig_df = minhash_signature(df, text_col, id_col, n, k)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *[F.col("sig")[b * rows_per + r] for r in range(rows_per)])).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    return sig_df.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def minhash_dup_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) colliding in any band."""
+    bb = minhash_band_buckets(df, text_col, id_col, n, k, bands)
+    a, b = bb.alias("a"), bb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash: bigint) — 64-bit SimHash over whitespace tokens.
+
+    Each distinct token contributes sign(bit_j(h)) to accumulator j;
+    simhash bit j is 1 iff the sum is positive.  h = first 15 hex chars
+    of md5(token) as a 60-bit int, so bits 0..59 are populated (bits
+    60..63 are always 0 — fine for bucketing, documented).  md5-based so
+    DuckDB can replay it exactly.
+    """
+    toks = F.array_distinct(
+        F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+    )
+    # hash each token ONCE into a long array, then fold bits — avoids 60
+    # repeated md5 evaluations per token
+    toks_h = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
+
+    def bit_sum(j: int):
+        mask = F.lit(1 << j)
+        return F.aggregate(
+            toks_h,
+            F.lit(0).cast("long"),
+            lambda acc, hv: acc + F.when(hv.bitwiseAND(mask) > 0, 1).otherwise(-1),
+        )
+
+    bit_sums = [bit_sum(j) for j in range(60)]
+    sim = None
+    for j, s in enumerate(bit_sums):
+        term = F.when(s > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine near-duplicate pairs via self-join.  Quadratic candidate
+    set — intended for small partitions or as the verifier behind the
+    LSH variant (similarity.hyperplane_lsh_buckets) at scale."""
+    from sherlog_parser_spark.operators.similarity import cosine_expr
+
+    norm = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a, b = norm.alias("a"), norm.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

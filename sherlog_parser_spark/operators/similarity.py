@@ -1,0 +1,114 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``brute_force_topk`` — exact cosine top-k against a broadcast query
+  vector: one narrow map + TakeOrderedAndProject, the correctness
+  baseline at any scale (scan-bound, no shuffle).
+* ``hyperplane_lsh_buckets`` / ``lsh_ann_topk`` — random-hyperplane LSH:
+  deterministic pseudo-random ±1 hyperplanes derived from md5 parity
+  (reproducible in the DuckDB oracle), bucket = sign bitstring; ANN
+  probes only the query's bucket.  This is the scale path: candidate
+  set shrinks ~2^planes, bucket assignment is embarrassingly parallel,
+  and buckets are join/groupBy keys.
+
+All dot products run JVM-side via ``zip_with``/``aggregate`` in double
+precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# md5 hex chars with even parity -> +1 hyperplane component, odd -> -1
+_EVEN_HEX = "02468ace"
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    out = emb.select(
+        F.col(id_col), F.round(cosine_expr(F.col(vec_col), q), 6).alias("cos")
+    )
+    if exclude_id is not None:
+        out = out.filter(F.col(id_col) != exclude_id)
+    return out.orderBy(F.desc("cos"), id_col).limit(k)
+
+
+def hyperplane_sign(vec: Column, plane: int, dims: int) -> Column:
+    """Sign of <vec, h_plane> where h_plane[d] = ±1 from md5 parity of
+    'hp{plane}_{d}' — deterministic, engine-agnostic."""
+    comps = [
+        F.when(
+            F.substring(F.md5(F.lit(f"hp{plane}_{d}")), 1, 1).isin(*list(_EVEN_HEX)), F.lit(1.0)
+        ).otherwise(F.lit(-1.0))
+        * F.element_at(vec, d + 1).cast("double")
+        for d in range(dims)
+    ]
+    s = None
+    for c in comps:
+        s = c if s is None else s + c
+    return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def hyperplane_lsh_buckets(
+    emb: DataFrame,
+    planes: int = 6,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket:string) — concatenated sign bits."""
+    bits = [hyperplane_sign(F.col(vec_col), p, dims) for p in range(planes)]
+    bucket = F.concat_ws("", *[b.cast("string") for b in bits])
+    return emb.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    planes: int = 6,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: exact cosine ranking restricted to the query's
+    LSH bucket.  Recall vs brute force is tested in tests/."""
+    import hashlib
+
+    def py_sign(plane: int) -> int:
+        s = 0.0
+        for d, x in enumerate(query_vec):
+            parity = 1.0 if hashlib.md5(f"hp{plane}_{d}".encode()).hexdigest()[0] in _EVEN_HEX else -1.0
+            s += parity * float(x)
+        return 1 if s >= 0 else 0
+
+    qbucket = "".join(str(py_sign(p)) for p in range(planes))
+    bucketed = hyperplane_lsh_buckets(emb, planes, dims, id_col, vec_col)
+    cand = emb.join(bucketed.filter(F.col("bucket") == qbucket).select(id_col), id_col, "left_semi")
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col, exclude_id)
