@@ -1,0 +1,178 @@
+"""Benchmark driver. Prints ONE JSON line:
+
+    {"metric": "headline_total", "value": <sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "turns": N, "turns_per_sec_local8": ..., "turns_per_sec_local32": ...,
+     "scaling_efficiency_8_to_32": ...}
+
+Parts:
+1. headline oracle queries over $SPARK_GRAFT_SF_DIR (default sf0.1) on
+   local[$SPARK_GRAFT_CPUS]; each timed to a noop-write action.
+2. the transcript parse->enrich->route->aggregate pipeline at TWO
+   parallelism levels (local[8] vs local[32]) on identical pre-generated
+   input — the sandbox proxy for the north_rule's N->4N executor scaling
+   (efficiency = (T8/T32)/4, target >= 0.8).
+
+Input generation is cached under /tmp and excluded from timed regions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_CONVS = int(os.environ.get("SHERLOG_BENCH_CONVS", "600000"))
+SKIP_SCALING = os.environ.get("SHERLOG_BENCH_NO_SCALING") == "1"
+REPS = int(os.environ.get("SHERLOG_BENCH_REPS", "2"))
+
+HEADLINE = [
+    "template_freq",
+    "param_extract",
+    "hourly_counts",
+    "group_stats",
+    "zscore_outliers",
+    "pricing_summary",
+    "region_rollup",
+    "minhash_candidates",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "embedding_topk",
+    "lsh_ann_topk",
+    "text_stats",
+]
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_headline(timings: dict) -> None:
+    import __spark_entry__ as entrymod
+    from sherlog_parser_spark.session import get_spark
+
+    spark = get_spark("bench-queries", master=f"local[{CPUS}]")
+    qs = entrymod.queries()
+    try:
+        for name in HEADLINE:
+            t0 = time.time()
+            _noop(qs[name](spark, SF_DIR))
+            timings[name] = round(time.time() - t0, 3)
+    finally:
+        spark.stop()
+
+
+def _gen_transcripts(path: str, n_convs: int) -> int:
+    """Generate once, cache in /tmp; returns row count."""
+    from sherlog_parser_spark.data.transcripts import generate_transcripts
+    from sherlog_parser_spark.session import get_spark
+
+    meta = path + ".meta.json"
+    if os.path.exists(meta):
+        with open(meta) as f:
+            return json.load(f)["rows"]
+    spark = get_spark("bench-gen", master=f"local[{CPUS}]")
+    try:
+        df = generate_transcripts(spark, n_convs=n_convs, seed=42, partitions=CPUS * 2)
+        df.write.mode("overwrite").parquet(path)
+        rows = spark.read.parquet(path).count()
+        with open(meta, "w") as f:
+            json.dump({"rows": rows, "n_convs": n_convs}, f)
+        return rows
+    finally:
+        spark.stop()
+
+
+def bench_pipeline(master_cores: int, data_path: str, pin: bool = True) -> float:
+    """One e2e pipeline run at ``master_cores`` parallelism, in a fresh
+    subprocess pinned to exactly that many physical CPUs (taskset) — a
+    local[N] JVM otherwise spills GC/shuffle/IO threads onto all cores,
+    inflating the small-N throughput and corrupting the scaling ratio."""
+    import subprocess
+
+    out = f"/tmp/sherlog_bench_out_{master_cores}"
+    shutil.rmtree(out, ignore_errors=True)
+    code = (
+        "import sys, time, shutil;"
+        f"sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r});"
+        "from sherlog_parser_spark.session import get_spark;"
+        "from sherlog_parser_spark.plans.pipeline import run_pipeline;"
+        f"spark = get_spark('bench-pipe', master='local[{master_cores}]');"
+        f"df = spark.read.parquet({data_path!r});"
+        "t0 = time.time();"
+        f"run_pipeline(spark, df, {out!r}, n_buckets=2, commit_groups=1, resume=False,"
+        " aggregate_source='sink', persist_parsed=False);"
+        "print('BENCH_ELAPSED', time.time() - t0);"
+        "spark.stop()"
+    )
+    cmd = ["python", "-c", code]
+    if pin:
+        cmd = ["taskset", "-c", f"0-{master_cores - 1}"] + cmd
+    res = subprocess.run(cmd, capture_output=True, text=True)
+    for line in res.stdout.splitlines():
+        if line.startswith("BENCH_ELAPSED"):
+            return float(line.split()[1])
+    raise RuntimeError(f"bench_pipeline failed: {res.stdout[-500:]} {res.stderr[-2000:]}")
+
+
+def main() -> None:
+    timings: dict[str, float] = {}
+    bench_headline(timings)
+
+    data_path = f"/tmp/sherlog_bench_data/transcripts_{BENCH_CONVS}.parquet"
+    os.makedirs(os.path.dirname(data_path), exist_ok=True)
+    rows = _gen_transcripts(data_path, BENCH_CONVS)
+
+    # N -> 4N scaling evidence (north_rule): same job, same input, CPU-pinned
+    # subprocesses at local[N_SMALL] vs local[N_BIG].  Alternate levels and
+    # take min-of-REPS per level: the sandbox is a shared box, single runs
+    # vary +-20%; min is the standard contention-robust estimator.
+    n_small = int(os.environ.get("SHERLOG_BENCH_N_SMALL", "2"))
+    n_big = int(os.environ.get("SHERLOG_BENCH_N_BIG", "8"))
+    result: dict = {}
+    runs_s, runs_b = [], []
+    for _ in range(REPS):
+        if not SKIP_SCALING:
+            runs_s.append(bench_pipeline(n_small, data_path))
+        runs_b.append(bench_pipeline(n_big, data_path))
+    tb = min(runs_b)
+    timings[f"pipeline_local{n_big}"] = round(tb, 3)
+    result[f"turns_per_sec_local{n_big}"] = round(rows / tb, 1)
+    result[f"pipeline_local{n_big}_runs"] = [round(x, 2) for x in runs_b]
+    if not SKIP_SCALING:
+        ts = min(runs_s)
+        timings[f"pipeline_local{n_small}"] = round(ts, 3)
+        result[f"turns_per_sec_local{n_small}"] = round(rows / ts, 1)
+        result[f"pipeline_local{n_small}_runs"] = [round(x, 2) for x in runs_s]
+        result["scaling"] = {
+            "n_small": n_small,
+            "n_big": n_big,
+            "factor": n_big / n_small,
+            "efficiency": round((ts / tb) / (n_big / n_small), 3),
+        }
+    # max-throughput run on the full machine (headline turns/sec)
+    tmax = bench_pipeline(CPUS, data_path)
+    timings[f"pipeline_local{CPUS}"] = round(tmax, 3)
+    result[f"turns_per_sec_local{CPUS}"] = round(rows / tmax, 1)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "turns": rows,
+        **result,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

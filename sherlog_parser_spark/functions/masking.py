@@ -145,16 +145,18 @@ def extract_params_expr(text: Column | str, template: Column | str) -> Column:
     lt = tokens_expr(text)
     tt = tokens_expr(template)
     var_type = lambda t: F.regexp_extract(t, VAR_TOKEN_PATTERN, 1)  # noqa: E731
-    idx = F.sequence(F.lit(0), F.size(tt) - 1)
+    # zip the two token arrays and use the 2-arg (element, index) lambda;
+    # referencing lt/tt inside the lambda would re-tokenize per element
+    z = F.arrays_zip(lt.alias("lt"), tt.alias("tt"))
     entries = F.filter(
         F.transform(
-            idx,
-            lambda i: F.struct(
+            z,
+            lambda s, i: F.struct(
                 F.concat(
-                    F.lit("param_"), i.cast("string"), F.lit("_"), var_type(F.element_at(tt, i + 1))
+                    F.lit("param_"), i.cast("string"), F.lit("_"), var_type(s["tt"])
                 ).alias("key"),
-                F.element_at(lt, i + 1).alias("value"),
-                (var_type(F.element_at(tt, i + 1)) != F.lit("")).alias("is_var"),
+                s["lt"].alias("value"),
+                (var_type(s["tt"]) != F.lit("")).alias("is_var"),
             ),
         ),
         lambda s: s["is_var"],

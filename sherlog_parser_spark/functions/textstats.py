@@ -92,11 +92,17 @@ def lang_id_expr(text: Column | str) -> Column:
 def word_shingles_expr(text: Column | str, n: int = 3) -> Column:
     """Array of word n-gram shingle strings (space-joined)."""
     toks = _tokens(text)
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    return F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+    # Zip n shifted slices and concat inside the lambda.  Do NOT write
+    # this as transform(indices, i -> element_at(toks, i+j)): a lambda
+    # that references the outer `toks` tree re-evaluates the full
+    # tokenization PER ELEMENT (interpreted HOFs do no CSE) — measured
+    # O(len^2) blow-up on long documents.
+    m = F.size(toks) - (n - 1)  # number of shingles
+    slices = [F.slice(toks, j + 1, m).alias(f"s{j}") for j in range(n)]
+    z = F.arrays_zip(*slices)
+    shingles = F.transform(z, lambda s: F.concat_ws(" ", *[s[f"s{j}"] for j in range(n)]))
+    return F.when(F.size(toks) >= n, shingles).otherwise(
+        F.array().cast("array<string>")
     )
 
 

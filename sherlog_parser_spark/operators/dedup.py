@@ -86,15 +86,15 @@ def minhash_signature(
     the whole trimmed text as their single shingle."""
     sh = word_shingles_expr(text_col, n)
     sh = F.when(F.size(sh) > 0, sh).otherwise(F.array(F.trim(F.col(text_col))))
-
-    # NB: one-arg lambdas only — pyspark dispatches on lambda arity, so a
-    # default-arg closure (lambda s, _i=i: ...) would receive the array
-    # INDEX column as _i instead of the loop variable.
-    def salted_min(i: int):
-        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"mh{i}|"), s))))
-
-    sig = F.array(*[salted_min(i) for i in range(k)])
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    # explode -> groupBy(min) rather than k nested array_min(transform(..))
+    # expressions: the exploded shape is whole-stage-codegen'd, hashes each
+    # shingle exactly k times, and scales to arbitrarily long documents
+    # (no giant in-memory arrays, partial min aggregation map-side)
+    ex = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("s"))
+    agg = ex.groupBy("id").agg(
+        *[F.min(F.md5(F.concat(F.lit(f"mh{i}|"), F.col("s")))).alias(f"m{i}") for i in range(k)]
+    )
+    return agg.select("id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig"))
 
 
 def minhash_band_buckets(

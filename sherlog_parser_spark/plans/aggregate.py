@@ -19,6 +19,36 @@ def template_frequency(enriched: DataFrame) -> DataFrame:
     return enriched.groupBy("template_id", "template").agg(F.count("*").alias("frequency"))
 
 
+def sink_rollup(enriched: DataFrame, window: str = "1 hour") -> DataFrame:
+    """One scan -> the finest-grained count cube the sink aggregates
+    need: (template_id, template, tool, window).  Both A1 and A12 are
+    exact second-level rollups of this (counts are algebraic), so the
+    pipeline pays ONE pass over the fact table instead of one per
+    aggregate.  Output cardinality ~ |templates| x |tools| x |windows| —
+    tiny at any input scale."""
+    return enriched.groupBy(
+        "template_id", "template", "tool", F.window("ts", window).alias("w")
+    ).agg(F.count("*").alias("n"))
+
+
+def template_frequency_from_rollup(rollup: DataFrame) -> DataFrame:
+    return rollup.groupBy("template_id", "template").agg(F.sum("n").alias("frequency"))
+
+
+def tool_usage_from_rollup(rollup: DataFrame) -> DataFrame:
+    return (
+        rollup.groupBy("template_id", "tool", "w")
+        .agg(F.sum("n").alias("uses"))
+        .select(
+            "template_id",
+            "tool",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "uses",
+        )
+    )
+
+
 def salted_count(df: DataFrame, keys: list[str], salt_col: str = "conv_id", n_salts: int = 16) -> DataFrame:
     """Two-level aggregation: groupBy(keys + salt).count, then sum —
     explicit skew mitigation (SURVEY §4.2)."""

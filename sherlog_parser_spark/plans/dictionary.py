@@ -35,10 +35,19 @@ class TemplateDictionary:
     df: DataFrame  # sig:long, template_id:long, template:string
     pool: TemplatePool
     n_sigs: int
+    counts: dict[int, int] | None = None  # template_id -> row count
 
     @property
     def templates(self) -> list[str]:
         return list(self.pool.templates)
+
+    def hot_template_ids(self, frac: float = 0.05) -> list[int]:
+        """Template ids covering more than ``frac`` of all rows — the
+        Zipf head that needs salted writes/aggs (SURVEY §4.2)."""
+        if not self.counts:
+            return []
+        total = sum(self.counts.values())
+        return sorted(tid for tid, c in self.counts.items() if c > frac * total)
 
 
 def build_template_dictionary(
@@ -53,6 +62,7 @@ def build_template_dictionary(
         .agg(
             F.min("masked").alias("masked"),  # functionally dependent on sig
             F.min(F.struct(*order_cols)).alias("first_seen"),
+            F.count(F.lit(1)).alias("n"),
         )
         .orderBy("first_seen", "sig")
         .limit(MAX_DICT_ROWS + 1)
@@ -64,9 +74,11 @@ def build_template_dictionary(
             "masking rules are not collapsing this corpus — refusing driver collect"
         )
     pool = TemplatePool(threshold=threshold)
+    counts: dict[int, int] = {}
     for r in rows:
-        pool.add(r["sig"], r["masked"])
+        tid = pool.add(r["sig"], r["masked"])
+        counts[tid] = counts.get(tid, 0) + int(r["n"])
     final = pool.templates
     dict_rows = [(int(sig), int(tid), final[tid]) for sig, tid in pool.mapping().items()]
     dict_df = spark.createDataFrame(dict_rows, "sig long, template_id long, template string")
-    return TemplateDictionary(df=dict_df, pool=pool, n_sigs=len(rows))
+    return TemplateDictionary(df=dict_df, pool=pool, n_sigs=len(rows), counts=counts)

@@ -32,11 +32,15 @@ from pyspark.sql import functions as F
 
 from sherlog_parser_spark.checkpoint import CheckpointManifest
 from sherlog_parser_spark.data.dims import role_tool_dim
-from sherlog_parser_spark.plans.aggregate import template_frequency, tool_usage_windowed
+from sherlog_parser_spark.plans.aggregate import (
+    sink_rollup,
+    template_frequency_from_rollup,
+    tool_usage_from_rollup,
+)
 from sherlog_parser_spark.plans.dictionary import TemplateDictionary, build_template_dictionary
 from sherlog_parser_spark.plans.enrich import enrich_stage
 from sherlog_parser_spark.plans.parse import parse_stage
-from sherlog_parser_spark.plans.route import ROUTE_COLS, conv_bucket_expr
+from sherlog_parser_spark.plans.route import ROUTE_COLS, conv_bucket_expr, salt_expr
 
 
 @dataclass
@@ -59,12 +63,23 @@ def run_pipeline(
     with_params: bool = True,
     resume: bool = True,
     write_aggregates: bool = True,
+    aggregate_source: str = "enriched",
+    persist_parsed: bool = True,
 ) -> PipelineResult:
     t_start = time.time()
     routed_dir = os.path.join(out_dir, "routed")
     manifest_path = os.path.join(out_dir, "_manifest.jsonl")
 
     parsed = parse_stage(transcripts, use_arrow_udf=use_arrow_udf)
+    if persist_parsed:
+        # the dictionary build, the routed write, and the aggregates each
+        # need the masked/sig columns; persisting the parse stage turns
+        # three mask passes over the corpus into one (spills to disk when
+        # it outgrows memory — disable for recompute-cheaper-than-cache
+        # deployments)
+        from pyspark import StorageLevel
+
+        parsed = parsed.persist(StorageLevel.MEMORY_AND_DISK)
     tdict = build_template_dictionary(parsed)
     enriched = enrich_stage(parsed, tdict.df, role_tool_dim(spark), with_params=with_params)
     routed = enriched.select(*ROUTE_COLS).withColumn(
@@ -81,7 +96,7 @@ def run_pipeline(
             os.remove(manifest_path)
         manifest = CheckpointManifest(manifest_path)
     total_rows = 0
-    salt = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt_buckets))
+    salt = salt_expr(tdict.hot_template_ids(), salt_buckets)
     for g in range(commit_groups):
         unit = f"bucket_group={g}"
         if manifest.is_committed(unit):
@@ -96,6 +111,7 @@ def run_pipeline(
             sub.repartition(F.col("template_id"), F.col("tool"), F.col("conv_bucket"), salt)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
+            .option("parquet.enable.dictionary", "false")
             .partitionBy("template_id", "tool", "conv_bucket")
             .parquet(routed_dir)
         )
@@ -105,9 +121,22 @@ def run_pipeline(
         manifest.commit(unit, rows, fp, routed_dir, time.time() - t0)
 
     if write_aggregates:
-        sink = spark.read.parquet(routed_dir)
-        template_frequency(sink).write.mode("overwrite").parquet(os.path.join(out_dir, "agg_template_freq"))
-        tool_usage_windowed(sink).write.mode("overwrite").parquet(os.path.join(out_dir, "agg_tool_usage"))
+        # per-sink counts are grouped by the sink keys (template_id, tool);
+        # computing them from the in-flight frame is row-identical to
+        # re-reading the sink (verified in tests) and avoids a serial
+        # many-small-files listing + rescan.  One fine-grained rollup scan
+        # feeds both aggregates (counts are algebraic).
+        src = spark.read.parquet(routed_dir) if aggregate_source == "sink" else routed
+        rollup = sink_rollup(src).persist()
+        template_frequency_from_rollup(rollup).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "agg_template_freq")
+        )
+        tool_usage_from_rollup(rollup).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "agg_tool_usage")
+        )
+        rollup.unpersist()
+    if persist_parsed:
+        parsed.unpersist()
 
     wall = time.time() - t_start
     with open(os.path.join(out_dir, "run_metrics.json"), "w") as f:

@@ -29,20 +29,39 @@ def conv_bucket_expr(conv_id: Column | str, n_buckets: int) -> Column:
     return F.pmod(F.xxhash64(c), F.lit(n_buckets)).cast("int")
 
 
+def salt_expr(hot_template_ids: list[int] | None, salt_buckets: int):
+    """Salt ONLY the Zipf-head templates: cold (template,tool,bucket)
+    combos land in exactly one writer task -> one file; hot combos are
+    spread over ``salt_buckets`` tasks.  Unconditional salting would
+    multiply the sink's file count by salt_buckets (measured 4x file
+    explosion == 4x write wall time at small scale)."""
+    if not hot_template_ids or salt_buckets <= 1:
+        return F.lit(0)
+    return F.when(
+        F.col("template_id").isin(*hot_template_ids),
+        F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt_buckets)),
+    ).otherwise(F.lit(0))
+
+
 def route_stage(
     enriched: DataFrame,
     out_dir: str,
     n_buckets: int = 8,
     salt_buckets: int = 4,
+    hot_template_ids: list[int] | None = None,
     mode: str = "overwrite",
     extra_cols: list[str] | None = None,
 ) -> None:
     cols = ROUTE_COLS + (extra_cols or [])
     routed = enriched.select(*cols).withColumn("conv_bucket", conv_bucket_expr("conv_id", n_buckets))
-    salt = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt_buckets))
+    salt = salt_expr(hot_template_ids, salt_buckets)
     (
         routed.repartition(F.col("template_id"), F.col("tool"), F.col("conv_bucket"), salt)
         .write.mode(mode)
+        # text/conv_id are high-cardinality: parquet dictionary encoding
+        # only burns CPU (hash every value, spill the dict) — measured 2x
+        # write wall-time at high parallelism
+        .option("parquet.enable.dictionary", "false")
         .partitionBy("template_id", "tool", "conv_bucket")
         .parquet(out_dir)
     )

@@ -30,6 +30,21 @@ def get_spark(
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
+    )
+    # Sandbox-only local-FS fast path: without libhadoop, Hadoop forks a
+    # `chmod` per mkdir/create (~2.5ms each, serialized), which dominates
+    # partitioned fan-out writes.  BareLocalFileSystem no-ops permission
+    # calls.  Real clusters (HDFS/S3/Iceberg) never hit this path.
+    barefs_jar = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "java", "sherlog-barefs.jar")
+    if os.path.exists(barefs_jar):
+        b = (
+            b.config("spark.jars", barefs_jar)
+            .config("spark.driver.extraClassPath", barefs_jar)
+            .config("spark.executor.extraClassPath", barefs_jar)
+            .config("spark.hadoop.fs.file.impl", "sherlog.BareLocalFileSystem")
+        )
+    b = (
+        b
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -39,6 +54,7 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -124,3 +124,25 @@ def test_merge_path_exercised(oracle_parsed):
     dictionary actually merged (distinct sigs > pool size)."""
     _, parser = oracle_parsed
     assert len(parser.pool.mapping()) > len(parser.pool.templates)
+
+
+def test_rollup_aggregates_equal_direct(spark_enriched):
+    """sink_rollup second-level rollups must equal the direct aggregates."""
+    from sherlog_parser_spark.plans.aggregate import (
+        sink_rollup,
+        template_frequency_from_rollup,
+        tool_usage_from_rollup,
+    )
+
+    enriched, _ = spark_enriched
+    r = sink_rollup(enriched)
+    direct_tf = {(x["template_id"], x["template"]): x["frequency"] for x in template_frequency(enriched).collect()}
+    roll_tf = {(x["template_id"], x["template"]): x["frequency"] for x in template_frequency_from_rollup(r).collect()}
+    assert direct_tf == roll_tf
+    direct_tu = {
+        (x["template_id"], x["tool"], x["window_start"]): x["uses"] for x in tool_usage_windowed(enriched).collect()
+    }
+    roll_tu = {
+        (x["template_id"], x["tool"], x["window_start"]): x["uses"] for x in tool_usage_from_rollup(r).collect()
+    }
+    assert direct_tu == roll_tu
