@@ -1,0 +1,94 @@
+"""Structured Streaming variant of the pipeline (SURVEY §2.10).
+
+The reference is strictly batch (its "real-time" path is a lookback SQL
+query, src/core/anomaly_incidents.py:61-87), so streaming is additive
+coverage, not parity: the same parse -> enrich -> aggregate/route logic
+over ``readStream``, with
+
+* event-time tumbling windows + watermark for the A2/A12 counts
+  (deliberate deviation documented in SURVEY §2.10: the reference
+  includes late data by batch recompute; a watermark drops it),
+* ``foreachBatch`` fan-out for routing — each micro-batch reuses the
+  batch route writer with dynamic partition overwrite, so sinks stay
+  per-template/per-tool partitioned,
+* the frozen template dictionary broadcast per query (built once from a
+  bounded history batch — matching the "freeze then stream" deployment
+  shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sherlog_parser_spark.plans.enrich import enrich_stage
+from sherlog_parser_spark.plans.parse import parse_stage
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+
+
+def read_transcript_stream(spark, path: str, max_files_per_trigger: int = 4) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def streaming_enrich(stream: DataFrame, template_dict: DataFrame, dim: DataFrame | None = None) -> DataFrame:
+    """parse + broadcast-join enrich on a stream (stateless, map-side)."""
+    parsed = parse_stage(stream)
+    return enrich_stage(parsed, template_dict, dim, with_params=False)
+
+
+def streaming_tool_usage(
+    stream: DataFrame,
+    template_dict: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """A12 as a streaming windowed aggregation with late-data watermark."""
+    enriched = streaming_enrich(stream, template_dict)
+    return (
+        enriched.withWatermark("ts", watermark)
+        .groupBy("template_id", "tool", F.window("ts", window).alias("w"))
+        .agg(F.count("*").alias("uses"))
+        .select(
+            "template_id",
+            "tool",
+            F.col("w.start").alias("window_start"),
+            "uses",
+        )
+    )
+
+
+def start_stream_route(
+    stream: DataFrame,
+    template_dict: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int = 4,
+    trigger_available_now: bool = True,
+):
+    """foreachBatch fan-out routing; returns the StreamingQuery."""
+    from sherlog_parser_spark.plans.route import ROUTE_COLS, conv_bucket_expr
+
+    enriched = streaming_enrich(stream, template_dict)
+    routed = enriched.select(*ROUTE_COLS).withColumn(
+        "conv_bucket", conv_bucket_expr("conv_id", n_buckets)
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("append")
+            .option("parquet.enable.dictionary", "false")
+            .partitionBy("template_id", "tool", "conv_bucket")
+            .parquet(out_dir)
+        )
+
+    writer = routed.writeStream.foreachBatch(write_batch).option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,67 @@
+"""Multimodal plumbing (stubbed codecs, real mapInPandas) and
+similarity-search recall checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sherlog_parser_spark.operators.multimodal import (
+    decode_stub,
+    extract_features,
+    frame_sample,
+    synthetic_media,
+)
+from sherlog_parser_spark.operators.similarity import brute_force_topk, lsh_ann_topk
+
+
+def test_decode_stub_gated():
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"xx", "image", fake=False)
+
+
+def test_extract_features_schema_and_determinism(spark):
+    media = synthetic_media(spark, n=48)
+    feats = extract_features(media, fake=True)
+    rows = feats.orderBy("media_id").collect()
+    assert len(rows) == 48
+    assert len(rows[0]["feature"]) == 16
+    rows2 = extract_features(media, fake=True).orderBy("media_id").collect()
+    assert [r["feature"] for r in rows] == [r["feature"] for r in rows2]
+    assert all(16 <= r["width"] < 80 and 16 <= r["height"] < 80 for r in rows)
+
+
+def test_frame_sample(spark):
+    media = synthetic_media(spark, n=30)
+    out = frame_sample(media, every_n=2).collect()
+    assert out, "some videos expected"
+    for r in out:
+        assert r["n_sampled"] == len(r["frames"])
+        assert all(len(f) <= 16 for f in r["frames"])
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+def test_lsh_ann_structural_correctness(embeddings):
+    """lsh_ann_topk == brute-force ranking restricted to the query's
+    hyperplane bucket (the defining property of the operator; recall
+    magnitude depends on data geometry, not on correctness)."""
+    from sherlog_parser_spark.operators.similarity import hyperplane_lsh_buckets
+
+    qv = embeddings.filter(F.col("vec_id") == 7).select("embedding").collect()[0][0]
+    approx = [(r["vec_id"], r["cos"]) for r in lsh_ann_topk(embeddings, qv, k=10, planes=4, exclude_id=7).collect()]
+    buckets = {r["vec_id"]: r["bucket"] for r in hyperplane_lsh_buckets(embeddings, planes=4).collect()}
+    qbucket = buckets[7]
+    # expected: brute-force over the bucket members
+    members = [v for v, b in buckets.items() if b == qbucket and v != 7]
+    cand = embeddings.filter(F.col("vec_id").isin(members))
+    expected = [(r["vec_id"], r["cos"]) for r in brute_force_topk(cand, qv, k=10, exclude_id=7).collect()]
+    assert approx == expected
+    # smoke: the true global top-1 should usually share the bucket
+    exact = [r["vec_id"] for r in brute_force_topk(embeddings, qv, k=10, exclude_id=7).collect()]
+    assert len(set(exact) & {v for v, _ in approx}) >= 1

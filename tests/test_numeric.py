@@ -1,0 +1,65 @@
+"""Numeric analysis pins ported from cpp/tests/test_main.cpp:86-116 —
+linear-interpolated quantiles and IQR anomaly detection — plus z-score
+and small-cluster semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sherlog_parser_spark.operators.numeric import (
+    group_numeric_stats,
+    iqr_anomalies,
+    numeric_field_discovery,
+    small_cluster_flags,
+    zscore_anomalies,
+)
+
+
+def test_statistics_catch2_pin(spark):
+    """values 1..10 -> mean 5.5, median 5.5, Q1 3.25, Q3 7.75, IQR 4.5
+    (cpp/tests/test_main.cpp:89-99; pins exact lerp quantiles)."""
+    df = spark.createDataFrame([(float(i),) for i in range(1, 11)], "v double").withColumn(
+        "g", F.lit("a")
+    )
+    s = group_numeric_stats(df, ["g"], "v").collect()[0]
+    assert s["mean"] == 5.5
+    assert s["median"] == 5.5
+    assert s["q1"] == 3.25
+    assert s["q3"] == 7.75
+    assert s["iqr"] == 4.5
+
+
+def test_iqr_anomaly_catch2_pin(spark):
+    """20 values of 10 + i%5 with 100.0 planted at index 10 -> exactly
+    that one anomaly (cpp/tests/test_main.cpp:101-116)."""
+    vals = [10.0 + i % 5 for i in range(20)]
+    vals[10] = 100.0
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i int, v double").withColumn(
+        "g", F.lit("a")
+    )
+    out = iqr_anomalies(df, ["g"], "v", k=1.5).filter(F.col("is_anomaly")).collect()
+    assert len(out) == 1
+    assert out[0]["i"] == 10
+    assert out[0]["v"] == 100.0
+
+
+def test_zscore_anomalies(spark):
+    vals = [(i, 10.0) for i in range(30)] + [(30, 500.0)]
+    df = spark.createDataFrame(vals, "i int, v double").withColumn("g", F.lit("a"))
+    out = zscore_anomalies(df, ["g"], "v", sigma=2.5).filter(F.col("is_anomaly")).collect()
+    assert [r["i"] for r in out] == [30]
+
+
+def test_small_cluster_flags(spark):
+    rows = [(i, "big") for i in range(20)] + [(100, "tiny"), (101, "tiny")]
+    df = spark.createDataFrame(rows, "i int, cluster string")
+    out = small_cluster_flags(df, "cluster", min_samples=5)
+    flagged = {r["i"] for r in out.filter(F.col("is_small_cluster")).collect()}
+    assert flagged == {100, 101}
+
+
+def test_numeric_field_discovery(spark):
+    rows = [(i, {"lat": str(i * 1.5), "name": f"n{i}" if i % 10 else "123"}) for i in range(100)]
+    df = spark.createDataFrame(rows, "i int, m map<string,string>")
+    out = {r["k"]: r["is_numeric"] for r in numeric_field_discovery(df, "m").collect()}
+    assert out == {"lat": True, "name": False}

@@ -1,0 +1,75 @@
+"""Streaming pipeline: availableNow micro-batch runs must reproduce the
+batch results exactly (counts + routed rows)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sherlog_parser_spark.plans.aggregate import tool_usage_windowed
+from sherlog_parser_spark.plans.dictionary import build_template_dictionary
+from sherlog_parser_spark.plans.enrich import enrich_stage
+from sherlog_parser_spark.plans.parse import parse_stage
+from sherlog_parser_spark.streaming.pipeline import (
+    read_transcript_stream,
+    start_stream_route,
+    streaming_tool_usage,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_setup(spark, transcripts, tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream")
+    src = str(root / "src")
+    transcripts.repartition(6).write.mode("overwrite").parquet(src)
+    parsed = parse_stage(spark.read.parquet(src))
+    tdict = build_template_dictionary(parsed)
+    return src, tdict, str(root)
+
+
+def test_streaming_counts_match_batch(spark, stream_setup):
+    src, tdict, root = stream_setup
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=2)
+    agg = streaming_tool_usage(stream, tdict.df, watermark="2 hours")
+    # complete mode: the final trigger's state is the full aggregate —
+    # append mode would hold back windows the watermark hasn't passed
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tu_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["template_id"], r["tool"], r["window_start"]): r["uses"]
+        for r in spark.sql("SELECT * FROM tu_stream").collect()
+    }
+    batch = parse_stage(spark.read.parquet(src))
+    enriched = enrich_stage(batch, tdict.df, with_params=False)
+    expected_full = {
+        (r["template_id"], r["tool"], r["window_start"]): r["uses"]
+        for r in tool_usage_windowed(enriched).collect()
+    }
+    # append mode only emits windows closed by the watermark; with a huge
+    # watermark AND availableNow, the final batch flushes everything
+    assert got == expected_full
+
+
+def test_streaming_route_matches_batch(spark, stream_setup):
+    src, tdict, root = stream_setup
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=3)
+    out = f"{root}/routed_stream"
+    q = start_stream_route(stream, tdict.df, out, f"{root}/ckpt_route")
+    q.awaitTermination(180)
+    sink = spark.read.parquet(out)
+    batch = enrich_stage(parse_stage(spark.read.parquet(src)), tdict.df, with_params=False)
+    got = {
+        (r["conv_id"], r["turn_idx"], r["template_id"], r["tool"])
+        for r in sink.select("conv_id", "turn_idx", "template_id", "tool").collect()
+    }
+    expected = {
+        (r["conv_id"], r["turn_idx"], r["template_id"], r["tool"])
+        for r in batch.select("conv_id", "turn_idx", "template_id", "tool").collect()
+    }
+    assert got == expected
