@@ -58,19 +58,26 @@ def brute_force_topk(
     return out.orderBy(F.desc("cos"), id_col).limit(k)
 
 
+def _parity(plane: int, d: int) -> float:
+    import hashlib
+
+    return 1.0 if hashlib.md5(f"hp{plane}_{d}".encode()).hexdigest()[0] in _EVEN_HEX else -1.0
+
+
 def hyperplane_sign(vec: Column, plane: int, dims: int) -> Column:
     """Sign of <vec, h_plane> where h_plane[d] = ±1 from md5 parity of
-    'hp{plane}_{d}' — deterministic, engine-agnostic."""
-    comps = [
-        F.when(
-            F.substring(F.md5(F.lit(f"hp{plane}_{d}")), 1, 1).isin(*list(_EVEN_HEX)), F.lit(1.0)
-        ).otherwise(F.lit(-1.0))
-        * F.element_at(vec, d + 1).cast("double")
-        for d in range(dims)
-    ]
-    s = None
-    for c in comps:
-        s = c if s is None else s + c
+    'hp{plane}_{d}' — deterministic, engine-agnostic.  The plane is a
+    64-double array LITERAL zipped against the vector: a flat
+    per-dimension expression tree (dims x planes CASE/product nodes)
+    takes Catalyst seconds to compile.  zip_with/aggregate folds run
+    left-to-right, matching the DuckDB oracle's explicit left-assoc sum
+    bit-for-bit."""
+    plane_lit = F.array(*[F.lit(_parity(plane, d)) for d in range(dims)])
+    s = F.aggregate(
+        F.zip_with(vec, plane_lit, lambda x, c: x.cast("double") * c),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0))
 
 
@@ -99,13 +106,10 @@ def lsh_ann_topk(
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking restricted to the query's
     LSH bucket.  Recall vs brute force is tested in tests/."""
-    import hashlib
-
     def py_sign(plane: int) -> int:
         s = 0.0
         for d, x in enumerate(query_vec):
-            parity = 1.0 if hashlib.md5(f"hp{plane}_{d}".encode()).hexdigest()[0] in _EVEN_HEX else -1.0
-            s += parity * float(x)
+            s += _parity(plane, d) * float(x)
         return 1 if s >= 0 else 0
 
     qbucket = "".join(str(py_sign(p)) for p in range(planes))

@@ -1,0 +1,55 @@
+"""Connected-components dedup decisions vs a Python union-find oracle."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from sherlog_parser_spark.operators.components import (
+    connected_components,
+    dedup_keep_representatives,
+)
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_components_match_union_find(spark):
+    rng = random.Random(42)
+    nodes = list(range(200))
+    pairs = [(min(a, b), max(a, b)) for a, b in (sorted(rng.sample(nodes, 2)) for _ in range(150))]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    expected = _union_find(pairs)
+    # canonicalize oracle to min-id representative
+    assert got == expected
+
+
+def test_components_chain(spark):
+    pairs = [(i, i + 1) for i in range(30)]  # one long chain, diameter 30
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in connected_components(df, max_iterations=50).collect()}
+    assert set(got.values()) == {0}
+
+
+def test_dedup_keep_representatives(spark):
+    docs = spark.createDataFrame([(i, f"doc {i}") for i in range(10)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "id_a long, id_b long")
+    kept = sorted(r["doc_id"] for r in dedup_keep_representatives(docs, pairs).collect())
+    # components {1,2,3} -> keep 1; {7,8} -> keep 7; others untouched
+    assert kept == [0, 1, 4, 5, 6, 7, 9]
