@@ -313,6 +313,26 @@ def q_lsh_ann_topk(spark, sf_dir):
     return SIM.lsh_ann_topk(emb, qv, k=10, planes=6, dims=64, exclude_id=0)
 
 
+def q_json_containment(spark, sf_dir):
+    """F5 — JSONB containment `parameters @> '{"k":"7"}'` analog."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.filter(F.get_json_object("props", "$.k") == "7")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_dedup_keep_docs(spark, sf_dir):
+    """Near-dup dedup decision: MinHash/LSH candidate pairs -> connected
+    components -> keep only min-id representatives (plus untouched docs)."""
+    from sherlog_parser_spark.operators.components import dedup_keep_representatives
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = DD.minhash_dup_candidates(docs, "text", "doc_id", n=3, k=8, bands=4)
+    return dedup_keep_representatives(docs, pairs, "doc_id").select("doc_id")
+
+
 def q_text_stats(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     # quality is emitted as floor(q*1e4 + 0.5) — an integer — because
@@ -537,6 +557,30 @@ def oracle_sql() -> dict[str, str]:
             f"(({_dd_norm('embedding')}) * ({_dd_norm('qv')})), 6) AS cos "
             "FROM cand, q ORDER BY cos DESC, vec_id LIMIT 10"
         ),
+        "json_containment": (
+            "SELECT event_type, count(*) AS n FROM events "
+            "WHERE json_extract_string(props, '$.k') = '7' GROUP BY 1"
+        ),
+        "dedup_keep_docs": (
+            f"WITH toks AS (SELECT doc_id, {_TOKS} AS tk, text FROM documents), "
+            f"sh AS (SELECT doc_id, {_SHINGLES3} AS shingles FROM toks), "
+            f"sig AS (SELECT doc_id, {_MINHASH_SIG} AS sig FROM sh), "
+            "bands AS ("
+            "  SELECT doc_id, 0 AS band, md5(sig[1] || '|' || sig[2]) AS bucket FROM sig "
+            "  UNION ALL SELECT doc_id, 1, md5(sig[3] || '|' || sig[4]) FROM sig "
+            "  UNION ALL SELECT doc_id, 2, md5(sig[5] || '|' || sig[6]) FROM sig "
+            "  UNION ALL SELECT doc_id, 3, md5(sig[7] || '|' || sig[8]) FROM sig), "
+            "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a "
+            "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id), "
+            "edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs), "
+            "reach AS ("
+            "  WITH RECURSIVE r(id, x) AS ("
+            "    SELECT DISTINCT s, s FROM edges "
+            "    UNION SELECT r.id, e.d FROM r JOIN edges e ON e.s = r.x) "
+            "  SELECT id, min(x) AS component FROM r GROUP BY id) "
+            "SELECT doc_id FROM documents WHERE doc_id NOT IN "
+            "(SELECT id FROM reach WHERE id <> component)"
+        ),
         "text_stats": (
             f"WITH t AS (SELECT doc_id, text, {_TOKS} AS tk FROM documents) "
             f"SELECT doc_id, {TS.dd_lang_id('text')} AS lang_pred, "
@@ -574,5 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "json_containment": q_json_containment,
+        "dedup_keep_docs": q_dedup_keep_docs,
         "text_stats": q_text_stats,
     }
