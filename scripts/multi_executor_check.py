@@ -1,0 +1,77 @@
+"""Multi-executor evidence (north_rule: 'runs via spark-submit --py-files
+on multi-executor clusters'): run the full pipeline on a local-cluster
+master (separate executor JVMs, real shuffle service paths) and assert
+the routed sink is bit-identical to the single-JVM local[N] run.
+
+Usage:  python scripts/multi_executor_check.py [n_convs]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from sherlog_parser_spark.plans.pipeline import run_pipeline
+from sherlog_parser_spark.session import get_spark
+
+
+def fingerprint(spark, path):
+    df = spark.read.parquet(path)
+    r = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64("conv_id", "turn_idx", "template_id", "tool", "text")).alias("h"),
+    ).collect()[0]
+    return int(r["n"]), int(r["h"])
+
+
+def run(master, tag, data):
+    spark = get_spark(f"mec-{tag}", master=master, shuffle_partitions=16)
+    try:
+        df = spark.read.parquet(data)
+        out = f"/tmp/mec_{tag}"
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.time()
+        run_pipeline(spark, df, out, n_buckets=2, commit_groups=1, resume=False)
+        wall = time.time() - t0
+        fp = fingerprint(spark, f"{out}/routed")
+        return wall, fp
+    finally:
+        spark.stop()
+
+
+def main():
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 60000
+    data = f"/tmp/mec_data_{n_convs}.parquet"
+    gen = get_spark("mec-gen", master="local[8]")
+    from sherlog_parser_spark.data.transcripts import generate_transcripts
+
+    generate_transcripts(gen, n_convs=n_convs, seed=42, partitions=16).write.mode(
+        "overwrite"
+    ).parquet(data)
+    rows = gen.read.parquet(data).count()
+    gen.stop()
+
+    w1, fp1 = run("local[16]", "single_jvm_16", data)
+    w2, fp2 = run("local-cluster[4,4,3072]", "four_executors_4x4", data)
+    print(
+        json.dumps(
+            {
+                "rows": rows,
+                "local[16]": {"wall_sec": round(w1, 2), "turns_per_sec": round(rows / w1)},
+                "local-cluster[4,4,3072]": {"wall_sec": round(w2, 2), "turns_per_sec": round(rows / w2)},
+                "fingerprints_equal": fp1 == fp2,
+                "fingerprint": fp1,
+            }
+        )
+    )
+    assert fp1 == fp2, (fp1, fp2)
+
+
+if __name__ == "__main__":
+    main()
