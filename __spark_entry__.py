@@ -400,7 +400,6 @@ _SIMHASH_BITS = " + ".join(
 
 
 def oracle_sql() -> dict[str, str]:
-    sw_hits_note = None  # noqa: F841
     return {
         "template_freq": (
             f"SELECT {_MASK} AS template, count(*) AS frequency "

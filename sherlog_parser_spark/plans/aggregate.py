@@ -49,6 +49,39 @@ def tool_usage_from_rollup(rollup: DataFrame) -> DataFrame:
     )
 
 
+def template_examples(enriched: DataFrame, k: int = 5) -> DataFrame:
+    """Per-template bookkeeping the reference keeps on every cluster:
+    up to ``k`` example messages (cap 5, cpp/src/log_parser.cpp:84-88)
+    and the count of distinct raw syntax variants
+    (LogTemplate.syntax_templates_, cpp/include/log_parser.hpp:22-66).
+    Examples are the k FIRST-SEEN texts — deterministic via min over
+    (ts, conv_id, turn_idx)-keyed structs, two-phase aggregated."""
+    from pyspark.sql import Window
+
+    # row_number window keeps per-row state bounded (collect_set of whole
+    # rows per template would hold a Zipf-head template's full row set in
+    # one aggregation buffer)
+    w = Window.partitionBy("template_id").orderBy("ts", "conv_id", "turn_idx")
+    firsts = (
+        enriched.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .groupBy("template_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("_rk").alias("rk"), F.col("text").alias("text")))),
+                lambda s: s["text"],
+            ).alias("examples")
+        )
+    )
+    stats = enriched.groupBy("template_id", "template").agg(
+        F.countDistinct("sig").alias("syntax_variants"),
+        F.count("*").alias("frequency"),
+    )
+    return stats.join(firsts, "template_id").select(
+        "template_id", "template", "examples", "syntax_variants", "frequency"
+    )
+
+
 def salted_count(df: DataFrame, keys: list[str], salt_col: str = "conv_id", n_salts: int = 16) -> DataFrame:
     """Two-level aggregation: groupBy(keys + salt).count, then sum —
     explicit skew mitigation (SURVEY §4.2)."""

@@ -16,8 +16,14 @@ Checkpointing: the routed write commits in ``commit_groups`` disjoint
 conv-bucket groups with dynamic partition overwrite, so every group is
 idempotent and a killed run resumes by skipping committed groups
 (checkpoint.CheckpointManifest).  Row counts + a content fingerprint
-(sum of signatures) are observed ON the write job itself
+(bit_xor of per-row hashes) are observed ON the write job itself
 (pyspark Observation) — lineage metrics cost no extra pass.
+
+Reference lifecycle being reproduced: ParserService.parse_logs
+(src/core/parser_service.py:66-202) and
+LogProcessingPipeline.process_dataset (src/core/pipeline.py:52-130) —
+their per-batch loops become partitions, the bulk-insert chunking
+becomes file-per-task commit (SURVEY §3.1-3.2).
 """
 
 from __future__ import annotations
