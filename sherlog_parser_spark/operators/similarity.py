@@ -94,6 +94,49 @@ def hyperplane_lsh_buckets(
     return emb.select(F.col(id_col), bucket.alias("bucket"))
 
 
+def ivf_index(
+    emb: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """IVF (inverted-file) index: KMeans coarse quantizer -> every vector
+    assigned to its nearest centroid's list.  Returns (assigned_df with a
+    ``list_id`` column, centroids: list[list[float]]).  The scale path for
+    ANN when hyperplane-LSH recall is insufficient: train on a sample,
+    assignment is one narrow map, probes touch n_probe/n_lists of data."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = emb.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(k=n_lists, seed=seed, featuresCol="_features", predictionCol="list_id").fit(feat)
+    assigned = model.transform(feat).drop("_features")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_ann_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Probe the n_probe nearest inverted lists, exact cosine inside."""
+    import math
+
+    def euclid(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    probes = sorted(range(len(centroids)), key=lambda i: euclid(centroids[i], query_vec))[:n_probe]
+    cand = assigned.filter(F.col("list_id").isin(probes))
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col, exclude_id)
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     query_vec: list[float],

@@ -46,7 +46,7 @@ from sherlog_parser_spark.plans.aggregate import (
 from sherlog_parser_spark.plans.dictionary import TemplateDictionary, build_template_dictionary
 from sherlog_parser_spark.plans.enrich import enrich_stage
 from sherlog_parser_spark.plans.parse import parse_stage
-from sherlog_parser_spark.plans.route import ROUTE_COLS, conv_bucket_expr, salt_expr
+from sherlog_parser_spark.plans.route import conv_bucket_expr, route_cols, salt_expr
 
 
 @dataclass
@@ -88,7 +88,7 @@ def run_pipeline(
         parsed = parsed.persist(StorageLevel.MEMORY_AND_DISK)
     tdict = build_template_dictionary(parsed)
     enriched = enrich_stage(parsed, tdict.df, role_tool_dim(spark), with_params=with_params)
-    routed = enriched.select(*ROUTE_COLS).withColumn(
+    routed = enriched.select(*route_cols(enriched)).withColumn(
         "conv_bucket", conv_bucket_expr("conv_id", n_buckets)
     )
 

@@ -21,7 +21,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-ROUTE_COLS = ["conv_id", "turn_idx", "role", "tool", "ts", "text", "template_id", "template", "event_type"]
+# FIXTURES.md §5 sink schema (reference store analog, src/core/timeseries.py:251-264)
+ROUTE_COLS = [
+    "conv_id", "turn_idx", "role", "tool", "ts", "text",
+    "template_id", "template", "parameters", "event_type",
+]
 
 
 def conv_bucket_expr(conv_id: Column | str, n_buckets: int) -> Column:
@@ -43,6 +47,12 @@ def salt_expr(hot_template_ids: list[int] | None, salt_buckets: int):
     ).otherwise(F.lit(0))
 
 
+def route_cols(df: DataFrame) -> list[str]:
+    """ROUTE_COLS present on df (parameters is optional when the enrich
+    stage ran with with_params=False, e.g. streaming)."""
+    return [c for c in ROUTE_COLS if c in df.columns]
+
+
 def route_stage(
     enriched: DataFrame,
     out_dir: str,
@@ -52,7 +62,7 @@ def route_stage(
     mode: str = "overwrite",
     extra_cols: list[str] | None = None,
 ) -> None:
-    cols = ROUTE_COLS + (extra_cols or [])
+    cols = route_cols(enriched) + (extra_cols or [])
     routed = enriched.select(*cols).withColumn("conv_bucket", conv_bucket_expr("conv_id", n_buckets))
     salt = salt_expr(hot_template_ids, salt_buckets)
     (

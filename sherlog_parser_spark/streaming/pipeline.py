@@ -73,10 +73,10 @@ def start_stream_route(
     trigger_available_now: bool = True,
 ):
     """foreachBatch fan-out routing; returns the StreamingQuery."""
-    from sherlog_parser_spark.plans.route import ROUTE_COLS, conv_bucket_expr
+    from sherlog_parser_spark.plans.route import conv_bucket_expr, route_cols
 
     enriched = streaming_enrich(stream, template_dict)
-    routed = enriched.select(*ROUTE_COLS).withColumn(
+    routed = enriched.select(*route_cols(enriched)).withColumn(
         "conv_bucket", conv_bucket_expr("conv_id", n_buckets)
     )
 

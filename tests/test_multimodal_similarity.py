@@ -65,3 +65,19 @@ def test_lsh_ann_structural_correctness(embeddings):
     # smoke: the true global top-1 should usually share the bucket
     exact = [r["vec_id"] for r in brute_force_topk(embeddings, qv, k=10, exclude_id=7).collect()]
     assert len(set(exact) & {v for v, _ in approx}) >= 1
+
+
+def test_ivf_ann(spark, embeddings):
+    """IVF index: probing all lists == brute force; probing few lists is a
+    valid subset ranking."""
+    from sherlog_parser_spark.operators.similarity import brute_force_topk, ivf_ann_topk, ivf_index
+
+    qv = embeddings.filter(F.col("vec_id") == 3).select("embedding").collect()[0][0]
+    assigned, centroids = ivf_index(embeddings, n_lists=8)
+    exact = [(r["vec_id"], r["cos"]) for r in brute_force_topk(embeddings, qv, k=10, exclude_id=3).collect()]
+    full_probe = [
+        (r["vec_id"], r["cos"]) for r in ivf_ann_topk(assigned, centroids, qv, k=10, n_probe=8, exclude_id=3).collect()
+    ]
+    assert full_probe == exact  # probing everything == exact
+    few = [r["vec_id"] for r in ivf_ann_topk(assigned, centroids, qv, k=10, n_probe=2, exclude_id=3).collect()]
+    assert len(set(few) & {v for v, _ in exact}) >= 1  # query's own list is probed

@@ -73,3 +73,36 @@ def test_streaming_route_matches_batch(spark, stream_setup):
         for r in batch.select("conv_id", "turn_idx", "template_id", "tool").collect()
     }
     assert got == expected
+
+
+def test_stateful_sessionization(spark, stream_setup):
+    """applyInPandasWithState conversation sessions: running summaries must
+    reach the batch per-conversation totals."""
+    from sherlog_parser_spark.streaming.stateful import conversation_sessions
+    from sherlog_parser_spark.streaming.pipeline import read_transcript_stream
+
+    src, _, root = stream_setup
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=3)
+    q = (
+        conversation_sessions(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions")
+        .option("checkpointLocation", f"{root}/ckpt_sessions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql(
+        "SELECT conv_id, max(n_turns) AS n_turns, max(n_tool_calls) AS n_tool FROM sessions GROUP BY conv_id"
+    ).collect()
+    batch = spark.read.parquet(src)
+    expected = {
+        r["conv_id"]: (r["n"], r["t"])
+        for r in batch.groupBy("conv_id")
+        .agg(F.count("*").alias("n"), F.sum((F.col("role") == "tool").cast("long")).alias("t"))
+        .collect()
+    }
+    assert len(got) == len(expected)
+    for r in got:
+        assert (r["n_turns"], r["n_tool"]) == expected[r["conv_id"]], r["conv_id"]
