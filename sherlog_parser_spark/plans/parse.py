@@ -28,8 +28,12 @@ def parse_stage(df: DataFrame, text_col: str = "text", use_arrow_udf: bool = Fal
     (tested) — the expression is the fast path, the UDF is the pluggable
     boundary where an LLM/grok extractor would slot in.
     """
+    # F8 null/empty guard: null text parses like the empty string (the
+    # reference's readers strip/skip blanks; a null must not create a
+    # null-sig cluster or a __HIVE_DEFAULT_PARTITION__ sink directory)
+    text = F.coalesce(F.col(text_col), F.lit(""))
     if use_arrow_udf:
-        masked = make_masked_template_udf()(F.col(text_col))
+        masked = make_masked_template_udf()(text)
     else:
-        masked = mask_template_expr(F.col(text_col))
+        masked = mask_template_expr(text)
     return df.withColumn("masked", masked).withColumn("sig", signature_expr(F.col("masked")))

@@ -123,3 +123,16 @@ def test_mask_regexpreplace_equals_hof(spark, transcripts):
             .count()
         )
         assert mism == 0
+
+
+def test_parse_stage_null_text(spark):
+    """Null text must parse like empty text (no null sig/template)."""
+    from sherlog_parser_spark.plans.parse import parse_stage
+
+    df = spark.createDataFrame(
+        [("c1", 0, "user", None, "none"), ("c1", 1, "user", "", "none")],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    rows = parse_stage(df).select("masked", "sig").collect()
+    assert all(r["masked"] == "" for r in rows)
+    assert rows[0]["sig"] == rows[1]["sig"] is not None
