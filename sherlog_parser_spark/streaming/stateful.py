@@ -24,7 +24,14 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "n_turns long, n_tool_calls long, first_ts timestamp, last_ts timestamp"
 
 
-def _session_fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+def _session_fn_factory(timeout_ms: int | None):
+    def fn(key, pdfs, state):
+        return _session_fn(key, pdfs, state, timeout_ms)
+
+    return fn
+
+
+def _session_fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState, timeout_ms: int | None = 2000):
     (conv_id,) = key
     if state.hasTimedOut:
         n_turns, n_tool, first_ts, last_ts = state.get
@@ -50,7 +57,8 @@ def _session_fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         first_ts = ts_min if first_ts is None else min(first_ts, ts_min)
         last_ts = ts_max if last_ts is None else max(last_ts, ts_max)
     state.update((n_turns, n_tool, first_ts, last_ts))
-    state.setTimeoutDuration(2000)  # ms of processing-time silence
+    if timeout_ms is not None:
+        state.setTimeoutDuration(timeout_ms)  # ms of processing-time silence
     yield pd.DataFrame(
         [
             {
@@ -65,13 +73,21 @@ def _session_fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     )
 
 
-def conversation_sessions(stream: DataFrame) -> DataFrame:
+def conversation_sessions(stream: DataFrame, timeout_ms: int | None = 2000) -> DataFrame:
     """stream: transcript rows; returns per-conversation running/closed
-    session summaries."""
+    session summaries.
+
+    ``timeout_ms=None`` disables the close-on-silence timeout — REQUIRED
+    with ``trigger(availableNow=True)``: processing-time timeouts keep
+    the query spinning empty micro-batches to service them, so an
+    availableNow run never self-terminates (observed: hundreds of 0-row
+    batches).  Use timeouts only with continuous triggers."""
     return stream.groupBy("conv_id").applyInPandasWithState(
-        _session_fn,
+        _session_fn_factory(timeout_ms),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout if timeout_ms is not None else GroupStateTimeout.NoTimeout
+        ),
     )

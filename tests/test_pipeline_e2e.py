@@ -69,3 +69,16 @@ def test_pipeline_arrow_udf_path_identical(spark, transcripts, tmp_path):
     assert _routed_fingerprint(spark, os.path.join(out_a, "routed")) == _routed_fingerprint(
         spark, os.path.join(out_b, "routed")
     )
+
+
+def test_dictionary_guard_refuses_unbounded_collect(spark, transcripts, monkeypatch):
+    """MAX_DICT_ROWS guard: a corpus whose masking does not collapse must
+    fail loudly instead of collecting unbounded state to the driver."""
+    import pytest
+
+    from sherlog_parser_spark.plans import dictionary as D
+    from sherlog_parser_spark.plans.parse import parse_stage
+
+    monkeypatch.setattr(D, "MAX_DICT_ROWS", 10)
+    with pytest.raises(RuntimeError, match="distinct signatures"):
+        D.build_template_dictionary(parse_stage(transcripts))
