@@ -1,0 +1,69 @@
+"""Evaluation entry point — the reference's ``evaluate_local.py`` /
+Dagster eval job analog (src/eval/eval_pipeline.py:326-340): load a
+structured golden dataset, parse it with the Spark pipeline, score
+GA/PA/FGA/FTA/GGD/PGD/Levenshtein, emit a metrics JSON, optionally gate
+on --min-accuracy (docs/evaluation-framework.md:207).
+
+Usage:
+    python scripts/evaluate.py [--dataset CSV] [--out metrics.json]
+        [--min-accuracy 0.95] [--rows 2000]
+
+Without --dataset the deterministic synthetic golden dataset is used
+(FIXTURES.md §2 — we never download loghub).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", default=None, help="loghub-style CSV (LineId,Content,EventId,EventTemplate)")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--min-accuracy", type=float, default=None)
+    ap.add_argument("--rows", type=int, default=2000)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from sherlog_parser_spark.eval import metrics as M
+    from sherlog_parser_spark.functions.masking import mask_template_expr, normalize_template_expr
+    from sherlog_parser_spark.session import get_spark
+
+    spark = get_spark("sherlog-evaluate", master=args.master)
+    try:
+        if args.dataset:
+            from sherlog_parser_spark.sources.readers import read_structured_dataset
+
+            golden = read_structured_dataset(spark, args.dataset)
+        else:
+            from sherlog_parser_spark.data.structured_logs import generate_structured_logs
+
+            golden = generate_structured_logs(spark, n_rows=args.rows)
+        results = golden.select(
+            F.col("LineId").alias("log_id"),
+            F.col("EventTemplate").alias("truth_template"),
+            normalize_template_expr(mask_template_expr("Content")).alias("pred_template"),
+        ).cache()
+        scores = M.evaluate(results)
+        scores["rows"] = results.count()
+        print(json.dumps(scores, indent=2))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(scores, f, indent=2)
+        if args.min_accuracy is not None and scores["grouping_accuracy"] < args.min_accuracy:
+            print(f"FAIL: GA {scores['grouping_accuracy']:.4f} < {args.min_accuracy}", file=sys.stderr)
+            return 1
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

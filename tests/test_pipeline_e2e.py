@@ -82,3 +82,32 @@ def test_dictionary_guard_refuses_unbounded_collect(spark, transcripts, monkeypa
     monkeypatch.setattr(D, "MAX_DICT_ROWS", 10)
     with pytest.raises(RuntimeError, match="distinct signatures"):
         D.build_template_dictionary(parse_stage(transcripts))
+
+
+def test_params_analytics_over_sink(spark, transcripts, tmp_path):
+    """Reference flow §3.3: numeric analysis over PARSED PARAMETERS read
+    back from the store — numeric_field_discovery + per-template z-scores
+    on a parameter column extracted from the routed sink's map."""
+    from pyspark.sql import functions as F
+
+    from sherlog_parser_spark.operators.numeric import numeric_field_discovery, zscore_anomalies
+    from sherlog_parser_spark.plans.pipeline import run_pipeline
+
+    out = str(tmp_path / "pa")
+    run_pipeline(spark, transcripts, out, commit_groups=1, resume=False, write_aggregates=False)
+    sink = spark.read.parquet(os.path.join(out, "routed"))
+    assert "parameters" in sink.columns
+    with_params = sink.filter(F.size("parameters") > 0)
+    assert with_params.count() > 0
+    # A11 field typing over the map
+    disc = {
+        r["k"]: r["is_numeric"]
+        for r in numeric_field_discovery(with_params, "parameters", sample_n=5000).collect()
+    }
+    assert any(disc.values()), disc  # OBA params parse as numeric
+    # z-score over one numeric param per template
+    vals = with_params.select(
+        "template_id", F.explode("parameters").alias("k", "v")
+    ).filter(F.col("k").endswith("_OBA")).withColumn("num", F.col("v").cast("double"))
+    flagged = zscore_anomalies(vals, ["template_id", "k"], "num", sigma=6.0)
+    assert flagged.filter(~F.col("is_anomaly")).count() > 0

@@ -112,3 +112,35 @@ def test_stateful_sessionization(spark, stream_setup):
     assert len(got) == len(expected)
     for r in got:
         assert (r["n_turns"], r["n_tool"]) == expected[r["conv_id"]], r["conv_id"]
+
+
+def test_streaming_route_restart_resumes(spark, stream_setup, tmp_path):
+    """Stop the routing query after the first micro-batch, restart from
+    the same checkpoint: no duplicates, final sink == batch (exactly-once
+    via checkpoint + idempotent-enough append within foreachBatch)."""
+    src, tdict, root = stream_setup
+    out = str(tmp_path / "routed_restart")
+    ckpt = str(tmp_path / "ckpt_restart")
+
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=2)
+    q = start_stream_route(stream, tdict.df, out, ckpt, trigger_available_now=False)
+    # wait for at least one committed batch, then stop mid-stream
+    import time
+
+    for _ in range(120):
+        if q.lastProgress and q.lastProgress["numInputRows"] > 0:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+
+    stream2 = read_transcript_stream(spark, src, max_files_per_trigger=2)
+    q2 = start_stream_route(stream2, tdict.df, out, ckpt, trigger_available_now=True)
+    q2.awaitTermination(180)
+
+    sink = spark.read.parquet(out)
+    batch = spark.read.parquet(src)
+    assert sink.count() == batch.count()  # no dupes, no loss
+    got = {(r["conv_id"], r["turn_idx"]) for r in sink.select("conv_id", "turn_idx").collect()}
+    expected = {(r["conv_id"], r["turn_idx"]) for r in batch.select("conv_id", "turn_idx").collect()}
+    assert got == expected
