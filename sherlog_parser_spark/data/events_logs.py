@@ -18,29 +18,25 @@ from pyspark.sql import functions as F
 
 
 def log_line_expr() -> Column:
-    ip = F.concat_ws(
-        ".",
-        F.lit("10"),
-        F.pmod(F.col("user_id"), F.lit(256)).cast("string"),
-        F.lit("0"),
-        F.pmod(F.col("event_id"), F.lit(256)).cast("string"),
-    )
-    hexid = F.concat(F.lit("0x"), F.lower(F.hex(F.pmod(F.col("event_id"), F.lit(1 << 20)))))
-    return F.concat_ws(
-        " ",
-        F.lit("evt"),
+    # F.concat (NULL-propagating), NOT concat_ws (NULL-skipping): the DuckDB
+    # rendering below uses '||' which propagates NULL, so a null event_type
+    # or props.k must yield NULL text in BOTH engines (ADVICE r1).
+    return F.concat(
+        F.lit("evt "),
         F.col("event_type"),
-        F.lit("user"),
+        F.lit(" user "),
         F.col("user_id").cast("string"),
-        F.lit("from"),
-        ip,
-        F.lit("req"),
-        hexid,
-        F.lit("k"),
+        F.lit(" from 10."),
+        F.pmod(F.col("user_id"), F.lit(256)).cast("string"),
+        F.lit(".0."),
+        F.pmod(F.col("event_id"), F.lit(256)).cast("string"),
+        F.lit(" req 0x"),
+        F.lower(F.hex(F.pmod(F.col("event_id"), F.lit(1 << 20)))),
+        F.lit(" k "),
         F.get_json_object("props", "$.k"),
-        F.lit("took"),
+        F.lit(" took "),
         F.floor(F.col("value") * 100).cast("long").cast("string"),
-        F.lit("ms"),
+        F.lit(" ms"),
     )
 
 

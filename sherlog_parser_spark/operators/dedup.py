@@ -46,6 +46,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Candidate pairs sharing >=1 word n-gram, scored by exact Jaccard
     over distinct shingle sets; returns (id_a, id_b, jaccard) with
@@ -54,8 +55,25 @@ def ngram_jaccard_pairs(
     Plan shape: explode -> self equi-join on shingle (shuffle on the
     shingle key, skew-salted by AQE) -> groupBy pair -> broadcast join
     of per-doc shingle counts back.
+
+    ``max_df``: document-frequency cap on shingles (standard prefix
+    filtering).  A boilerplate shingle shared by m docs would emit
+    C(m,2) candidate pairs — quadratic on exactly the keys Zipfian text
+    guarantees at 100 TB.  Shingles with df > max_df are removed from
+    BOTH candidate generation and the Jaccard numerator/denominator
+    (i.e. treated as non-existent), keeping the score self-consistent.
+    The hot-shingle list is tiny by Zipf, so the removal is a broadcast
+    anti-join — no extra shuffle of the shingle table.
     """
     sh = shingle_table(df, text_col, id_col, n)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

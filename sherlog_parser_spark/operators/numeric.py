@@ -32,14 +32,33 @@ def group_numeric_stats(df: DataFrame, group_cols: list[str], value_col: str) ->
     )
 
 
-def iqr_anomalies(df: DataFrame, group_cols: list[str], value_col: str, k: float = 1.5) -> DataFrame:
+def iqr_anomalies(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: float = 1.5,
+    fence_scale: int | None = None,
+) -> DataFrame:
     """Robust IQR outliers per group: v < Q1 - k*IQR or v > Q3 + k*IQR
-    (cpp/src/numeric_analysis.cpp robust path)."""
+    (cpp/src/numeric_analysis.cpp robust path).
+
+    ``fence_scale``: when set (e.g. 10**6), both the value and the fences
+    are quantized to ``floor(x*scale + 0.5)`` integers before comparing.
+    Cross-engine quantile implementations (Spark exact ``percentile`` vs
+    DuckDB ``quantile_cont``) drift by ulps; a raw double landing exactly
+    on a fence flips classification on 1-ulp drift (round-1 CORRECTNESS
+    red row).  The house fixed-point rule makes the comparison stable.
+    """
     stats = group_numeric_stats(df, group_cols, value_col)
     joined = df.join(F.broadcast(stats), group_cols)
     lo = F.col("q1") - k * F.col("iqr")
     hi = F.col("q3") + k * F.col("iqr")
-    return joined.withColumn("is_anomaly", (F.col(value_col) < lo) | (F.col(value_col) > hi))
+    v = F.col(value_col)
+    if fence_scale is not None:
+        s = float(fence_scale)
+        q = lambda c: F.floor(c * s + F.lit(0.5))  # noqa: E731
+        v, lo, hi = q(v), q(lo), q(hi)
+    return joined.withColumn("is_anomaly", (v < lo) | (v > hi))
 
 
 def zscore_anomalies(df: DataFrame, group_cols: list[str], value_col: str, sigma: float = 2.5) -> DataFrame:

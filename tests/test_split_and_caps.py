@@ -1,0 +1,81 @@
+"""Round-2 scale-safety fixes: partition-offset ordered split (no global
+single-task window) and the hot-shingle document-frequency cap in
+ngram_jaccard_pairs (no quadratic pair blowup on boilerplate shingles)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sherlog_parser_spark.operators.dedup import ngram_jaccard_pairs, shingle_table
+from sherlog_parser_spark.operators.split import global_rank, ordered_split
+
+
+def _plan(df):
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def _events(spark, n=1000):
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (F.lit(1700000000) + (F.col("id") * 37) % 86400).cast("timestamp").alias("ts"),
+    )
+
+
+def test_global_rank_matches_sorted_order(spark):
+    ev = _events(spark)
+    ranked = global_rank(ev, ["ts", "event_id"])
+    rows = ranked.orderBy("_rn").collect()
+    expected = ev.orderBy("ts", "event_id").collect()
+    assert [r["event_id"] for r in rows] == [r["event_id"] for r in expected]
+    assert [r["_rn"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_ordered_split_fraction_and_boundary(spark):
+    ev = _events(spark, 1000)
+    out = ordered_split(ev, ["ts", "event_id"], train_frac=0.7)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"train": 700, "test": 300}
+    # every train key must sort strictly before every test key
+    mx_train = out.filter("split = 'train'").agg(F.max(F.struct("ts", "event_id"))).collect()[0][0]
+    mn_test = out.filter("split = 'test'").agg(F.min(F.struct("ts", "event_id"))).collect()[0][0]
+    assert (mx_train["ts"], mx_train["event_id"]) < (mn_test["ts"], mn_test["event_id"])
+
+
+def test_ordered_split_plan_has_no_single_partition_exchange(spark):
+    ev = _events(spark)
+    out = ordered_split(ev, ["ts", "event_id"], train_frac=0.7)
+    plan = _plan(out)
+    # the r1 global row_number forced `Exchange SinglePartition`; the
+    # partition-offset plan must never serialize all rows into one task
+    assert "SinglePartition" not in plan, plan
+
+
+def test_hot_shingle_cap_bounds_candidates(spark):
+    # adversarial corpus: 40 docs share the boilerplate prefix (same 3-gram),
+    # and two genuine near-dup docs share distinctive content
+    boiler = [(i, f"terms of service apply to item{i} x{i} y{i}") for i in range(40)]
+    dups = [(100, "alpha beta gamma delta epsilon"), (101, "alpha beta gamma delta zeta")]
+    docs = spark.createDataFrame(boiler + dups, "doc_id INT, text STRING")
+
+    uncapped = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.01)
+    capped = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.01, max_df=10)
+
+    # uncapped: the shared 'terms of service' / 'of service apply' shingles
+    # emit C(40,2)=780 boilerplate pairs
+    assert uncapped.filter("id_a < 100").count() == 780
+    # capped: boilerplate shingles (df=40 > 10) vanish -> no boilerplate pairs,
+    # but the genuine near-dup pair survives with its exact jaccard
+    rows = capped.collect()
+    assert {(r["id_a"], r["id_b"]) for r in rows} == {(100, 101)}
+    # shingle sets: {abc, bcg(d), gde, dez?} -> sizes 3 and 3, intersection 2
+    assert abs(rows[0]["jaccard"] - 2 / 4) < 1e-9
+
+
+def test_hot_shingle_cap_consistent_sizes(spark):
+    # a doc whose shingles are ALL hot drops out entirely (size 0) rather
+    # than producing divide-by-zero or phantom pairs
+    docs = spark.createDataFrame(
+        [(i, "the same exact line") for i in range(20)], "doc_id INT, text STRING"
+    )
+    out = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.0, max_df=5)
+    assert out.count() == 0
