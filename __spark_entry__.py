@@ -554,9 +554,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings, q WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10"
         ),
         "lsh_ann_topk": (
+            # multi-probe: candidates within Hamming distance 1 of the query
+            # bucket (mirrors lsh_ann_topk(hamming_probes=1))
             "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
             f"qb AS (SELECT {_dd_bucket('qv')} AS qbucket FROM q), "
-            f"cand AS (SELECT vec_id, embedding FROM embeddings, qb WHERE {_dd_bucket('embedding')} = qb.qbucket AND vec_id <> 0) "
+            f"bk AS (SELECT vec_id, embedding, {_dd_bucket('embedding')} AS bucket FROM embeddings), "
+            "cand AS (SELECT vec_id, embedding FROM bk, qb WHERE ("
+            + " + ".join(
+                f"(CASE WHEN substr(bucket, {i + 1}, 1) = substr(qbucket, {i + 1}, 1) THEN 0 ELSE 1 END)"
+                for i in range(6)
+            )
+            + ") <= 1 AND vec_id <> 0) "
             f"SELECT vec_id, round(({_dd_dot('embedding', 'qv')}) / "
             f"(({_dd_norm('embedding')}) * ({_dd_norm('qv')})), 6) AS cos "
             "FROM cand, q ORDER BY cos DESC, vec_id LIMIT 10"

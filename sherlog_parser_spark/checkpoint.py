@@ -22,10 +22,14 @@ import time
 from dataclasses import dataclass, field
 
 
+RUN_HEADER_UNIT = "_run"
+
+
 @dataclass
 class CheckpointManifest:
     path: str
     entries: dict[str, dict] = field(default_factory=dict)
+    run_header: dict | None = None
 
     @classmethod
     def load(cls, path: str) -> "CheckpointManifest":
@@ -36,8 +40,27 @@ class CheckpointManifest:
                     line = line.strip()
                     if line:
                         e = json.loads(line)
-                        m.entries[e["unit"]] = e
+                        if e["unit"] == RUN_HEADER_UNIT:
+                            m.run_header = e
+                        else:
+                            m.entries[e["unit"]] = e
         return m
+
+    def run_fingerprint(self) -> str | None:
+        return (self.run_header or {}).get("run_fingerprint")
+
+    def commit_run(self, run_fingerprint: str) -> None:
+        """Append the run-identity header (input plan + params hash).
+        Resume refuses to mix groups across differing headers."""
+        entry = {
+            "unit": RUN_HEADER_UNIT,
+            "run_fingerprint": run_fingerprint,
+            "committed_at": time.time(),
+        }
+        self.run_header = entry
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        with open(self.path, "a") as f:
+            f.write(json.dumps(entry) + "\n")
 
     def is_committed(self, unit: str) -> bool:
         return unit in self.entries

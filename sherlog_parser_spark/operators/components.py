@@ -21,10 +21,16 @@ def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
-    max_iterations: int = 20,
+    max_iterations: int = 50,
 ) -> DataFrame:
     """(id, component) for every node appearing in ``pairs``; component =
-    min node id in the connected component."""
+    min node id in the connected component.
+
+    Convergence is CONFIRMED (a final round must observe zero label
+    changes) and non-convergence raises rather than returning partial
+    labels — the default cap is sized so the confirming round fits
+    (a 200-node random test graph needed 21 rounds; near-dup cliques
+    need ~3)."""
     edges = (
         pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
@@ -35,6 +41,7 @@ def connected_components(
         edges.select(F.col("s").alias("id")).distinct().withColumn("component", F.col("id"))
         .localCheckpoint()
     )
+    changed = 1
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.d == labels.id)
@@ -58,6 +65,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # returning partial labels would silently drop the WRONG documents
+        # downstream (dedup_keep_representatives) — fail loudly instead
+        # (possible on chain-shaped candidate graphs; r1 ADVICE)
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "iterations; the candidate graph has a longer diameter than "
+            "expected — raise max_iterations or switch to large-star/small-star"
+        )
     return labels
 
 

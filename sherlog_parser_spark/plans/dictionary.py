@@ -82,3 +82,32 @@ def build_template_dictionary(
     dict_rows = [(int(sig), int(tid), final[tid]) for sig, tid in pool.mapping().items()]
     dict_df = spark.createDataFrame(dict_rows, "sig long, template_id long, template string")
     return TemplateDictionary(df=dict_df, pool=pool, n_sigs=len(rows), counts=counts)
+
+
+def dictionary_state(tdict: TemplateDictionary) -> dict:
+    """JSON-serializable snapshot — persisted next to the checkpoint
+    manifest so a resumed run reuses the SAME template-id assignment
+    instead of rebuilding from the current input (r1 ADVICE)."""
+    return {
+        "templates": tdict.templates,
+        "mapping": {str(sig): tid for sig, tid in tdict.pool.mapping().items()},
+        "counts": {str(tid): n for tid, n in (tdict.counts or {}).items()},
+        "n_sigs": tdict.n_sigs,
+        "threshold": tdict.pool.threshold,
+    }
+
+
+def dictionary_from_state(spark: SparkSession, state: dict) -> TemplateDictionary:
+    pool = TemplatePool(threshold=state.get("threshold", 0.8))
+    pool.templates = list(state["templates"])
+    pool._sig_to_id = {int(s): int(t) for s, t in state["mapping"].items()}
+    dict_rows = [
+        (sig, tid, pool.templates[tid]) for sig, tid in pool._sig_to_id.items()
+    ]
+    dict_df = spark.createDataFrame(dict_rows, "sig long, template_id long, template string")
+    return TemplateDictionary(
+        df=dict_df,
+        pool=pool,
+        n_sigs=int(state["n_sigs"]),
+        counts={int(t): int(n) for t, n in state["counts"].items()},
+    )

@@ -28,8 +28,11 @@ becomes file-per-task commit (SURVEY §3.1-3.2).
 
 from __future__ import annotations
 
+import hashlib
 import json
+import logging
 import os
+import re
 import time
 from dataclasses import dataclass
 
@@ -43,10 +46,31 @@ from sherlog_parser_spark.plans.aggregate import (
     template_frequency_from_rollup,
     tool_usage_from_rollup,
 )
-from sherlog_parser_spark.plans.dictionary import TemplateDictionary, build_template_dictionary
+from sherlog_parser_spark.plans.dictionary import (
+    TemplateDictionary,
+    build_template_dictionary,
+    dictionary_from_state,
+    dictionary_state,
+)
 from sherlog_parser_spark.plans.enrich import enrich_stage
 from sherlog_parser_spark.plans.parse import parse_stage
 from sherlog_parser_spark.plans.route import conv_bucket_expr, route_cols, salt_expr
+
+
+_log = logging.getLogger(__name__)
+
+
+def _run_fingerprint(transcripts: DataFrame, params: dict) -> str:
+    """Identity of (input, config) for resume validation: md5 of the
+    NORMALIZED analyzed plan (expression ids stripped — they vary per
+    session), the schema, and the pipeline params.  No data pass — at
+    100 TB a content fingerprint would cost a full scan per resume."""
+    plan = re.sub(r"#\d+", "#", transcripts._jdf.queryExecution().analyzed().toString())
+    payload = json.dumps(
+        {"plan": plan, "schema": transcripts.schema.simpleString(), "params": params},
+        sort_keys=True,
+    )
+    return hashlib.md5(payload.encode()).hexdigest()
 
 
 @dataclass
@@ -72,9 +96,50 @@ def run_pipeline(
     aggregate_source: str = "enriched",
     persist_parsed: bool = True,
 ) -> PipelineResult:
+    import shutil
+
     t_start = time.time()
     routed_dir = os.path.join(out_dir, "routed")
     manifest_path = os.path.join(out_dir, "_manifest.jsonl")
+    dict_path = os.path.join(out_dir, "_dictionary.json")
+    run_fp = _run_fingerprint(
+        transcripts,
+        {
+            "n_buckets": n_buckets,
+            "commit_groups": commit_groups,
+            "salt_buckets": salt_buckets,
+            "use_arrow_udf": use_arrow_udf,
+            "with_params": with_params,
+        },
+    )
+
+    if resume:
+        manifest = CheckpointManifest.load(manifest_path)
+        stored_fp = manifest.run_fingerprint()
+        if (manifest.entries or stored_fp is not None) and stored_fp != run_fp:
+            # a manifest from a DIFFERENT input/config: resuming would
+            # silently mix incompatible groups and leave the sink
+            # inconsistent (r1 ADVICE).  Discard it and start clean.
+            _log.warning(
+                "checkpoint manifest at %s was written by a different input/config "
+                "(stored fingerprint %s != current %s); discarding sink and manifest",
+                manifest_path,
+                stored_fp,
+                run_fp,
+            )
+            shutil.rmtree(routed_dir, ignore_errors=True)
+            for p in (manifest_path, dict_path):
+                if os.path.exists(p):
+                    os.remove(p)
+            manifest = CheckpointManifest(manifest_path)
+    else:
+        shutil.rmtree(routed_dir, ignore_errors=True)
+        for p in (manifest_path, dict_path):
+            if os.path.exists(p):
+                os.remove(p)
+        manifest = CheckpointManifest(manifest_path)
+    if manifest.run_fingerprint() is None:
+        manifest.commit_run(run_fp)
 
     parsed = parse_stage(transcripts, use_arrow_udf=use_arrow_udf)
     if persist_parsed:
@@ -86,21 +151,20 @@ def run_pipeline(
         from pyspark import StorageLevel
 
         parsed = parsed.persist(StorageLevel.MEMORY_AND_DISK)
-    tdict = build_template_dictionary(parsed)
+    if manifest.entries and os.path.exists(dict_path):
+        # resuming a validated run: reuse the persisted dictionary so
+        # already-committed groups and in-flight groups share template ids
+        with open(dict_path) as f:
+            tdict = dictionary_from_state(spark, json.load(f))
+    else:
+        tdict = build_template_dictionary(parsed)
+        with open(dict_path, "w") as f:
+            json.dump(dictionary_state(tdict), f)
     enriched = enrich_stage(parsed, tdict.df, role_tool_dim(spark), with_params=with_params)
     routed = enriched.select(*route_cols(enriched)).withColumn(
         "conv_bucket", conv_bucket_expr("conv_id", n_buckets)
     )
 
-    if resume:
-        manifest = CheckpointManifest.load(manifest_path)
-    else:
-        import shutil
-
-        shutil.rmtree(routed_dir, ignore_errors=True)
-        if os.path.exists(manifest_path):
-            os.remove(manifest_path)
-        manifest = CheckpointManifest(manifest_path)
     total_rows = 0
     salt = salt_expr(tdict.hot_template_ids(), salt_buckets)
     for g in range(commit_groups):

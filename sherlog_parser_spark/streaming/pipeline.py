@@ -8,9 +8,11 @@ over ``readStream``, with
 * event-time tumbling windows + watermark for the A2/A12 counts
   (deliberate deviation documented in SURVEY §2.10: the reference
   includes late data by batch recompute; a watermark drops it),
-* ``foreachBatch`` fan-out for routing — each micro-batch reuses the
-  batch route writer with dynamic partition overwrite, so sinks stay
-  per-template/per-tool partitioned,
+* ``foreachBatch`` fan-out for routing — idempotent under micro-batch
+  REPLAY: the batch_id is a leading partition column and each batch is
+  written with dynamic partition overwrite, so a batch replayed after a
+  crash (sink written, offsets not committed) rewrites exactly its own
+  ``batch_id=N/...`` partitions instead of appending duplicates,
 * the frozen template dictionary broadcast per query (built once from a
   bounded history batch — matching the "freeze then stream" deployment
   shape).
@@ -81,10 +83,16 @@ def start_stream_route(
     )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # exactly-once under replay: batch content is deterministic from
+        # the checkpointed offsets, so overwriting this batch_id's own
+        # partitions is idempotent — a crash between sink write and offset
+        # commit no longer duplicates rows (r1 ADVICE)
         (
-            batch_df.write.mode("append")
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .option("parquet.enable.dictionary", "false")
-            .partitionBy("template_id", "tool", "conv_bucket")
+            .partitionBy("batch_id", "template_id", "tool", "conv_bucket")
             .parquet(out_dir)
         )
 

@@ -53,3 +53,20 @@ def test_dedup_keep_representatives(spark):
     kept = sorted(r["doc_id"] for r in dedup_keep_representatives(docs, pairs).collect())
     # components {1,2,3} -> keep 1; {7,8} -> keep 7; others untouched
     assert kept == [0, 1, 4, 5, 6, 7, 9]
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A chain graph needs O(length) rounds; an insufficient iteration cap
+    must raise, never return silently-wrong labels (r1 ADVICE)."""
+    import pytest as _pytest
+    from sherlog_parser_spark.operators.components import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a INT, id_b INT"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=2)
+    # and with enough rounds (30-hop propagation + confirming pass) the
+    # same graph resolves to one component
+    ok = connected_components(chain, max_iterations=35)
+    assert {r["component"] for r in ok.collect()} == {0}

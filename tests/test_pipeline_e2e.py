@@ -40,12 +40,12 @@ def test_pipeline_resume_skips_committed(spark, transcripts, tmp_path):
     golden = _routed_fingerprint(spark, os.path.join(out, "routed"))
     golden_manifest = CheckpointManifest.load(os.path.join(out, "_manifest.jsonl"))
 
-    # simulate a crash after 1 of 3 commits: drop the last two manifest
-    # entries, leave the (possibly orphaned) files in place
+    # simulate a crash after 1 of 3 commits: keep the run header + the
+    # first group entry, leave the (possibly orphaned) files in place
     mpath = os.path.join(out, "_manifest.jsonl")
     lines = open(mpath).read().strip().splitlines()
     with open(mpath, "w") as f:
-        f.write(lines[0] + "\n")
+        f.write(lines[0] + "\n" + lines[1] + "\n")
 
     res = run_pipeline(
         spark, transcripts, out, commit_groups=3, resume=True, write_aggregates=False
@@ -56,6 +56,53 @@ def test_pipeline_resume_skips_committed(spark, transcripts, tmp_path):
     # unit 0 must NOT have been recomputed: entry identical incl. timestamp
     assert m2.entries["bucket_group=0"] == golden_manifest.entries["bucket_group=0"]
     assert res.n_rows == transcripts.count()
+
+
+def test_pipeline_resume_refuses_foreign_manifest(spark, transcripts, tmp_path):
+    """A manifest written by a DIFFERENT input/config must be discarded,
+    not silently mixed (r1 ADVICE; reproduced live against a stale round-1
+    output dir before this fix)."""
+    out = str(tmp_path / "run_foreign")
+    other = transcripts.limit(2000)
+    run_pipeline(spark, other, out, commit_groups=3, resume=False, write_aggregates=False)
+    stale_rows = CheckpointManifest.load(os.path.join(out, "_manifest.jsonl")).metrics()["rows"]
+
+    res = run_pipeline(
+        spark, transcripts, out, commit_groups=3, resume=True, write_aggregates=False
+    )
+    # full recompute on the real input — no stale rows leak into the total
+    assert res.n_rows == transcripts.count() != stale_rows
+    m = CheckpointManifest.load(os.path.join(out, "_manifest.jsonl"))
+    assert len(m.entries) == 3
+    assert _routed_fingerprint(spark, os.path.join(out, "routed")) == _routed_fingerprint(
+        spark,
+        run_pipeline(
+            spark, transcripts, str(tmp_path / "run_clean"), commit_groups=3,
+            resume=False, write_aggregates=False,
+        ).routed_dir,
+    )
+
+
+def test_pipeline_resume_reuses_persisted_dictionary(spark, transcripts, tmp_path):
+    """Resumed runs must share template ids with committed groups via the
+    persisted dictionary, not a rebuild."""
+    import json as _json
+
+    out = str(tmp_path / "run_dict")
+    res1 = run_pipeline(spark, transcripts, out, commit_groups=2, resume=False, write_aggregates=False)
+    dict_path = os.path.join(out, "_dictionary.json")
+    saved = _json.load(open(dict_path))
+    assert saved["templates"] == res1.dictionary.templates
+
+    # drop the second group; poison the in-memory rebuild path by checking
+    # the resumed dictionary comes from disk (same object content)
+    mpath = os.path.join(out, "_manifest.jsonl")
+    lines = open(mpath).read().strip().splitlines()
+    with open(mpath, "w") as f:
+        f.write(lines[0] + "\n" + lines[1] + "\n")
+    res2 = run_pipeline(spark, transcripts, out, commit_groups=2, resume=True, write_aggregates=False)
+    assert res2.dictionary.templates == res1.dictionary.templates
+    assert res2.dictionary.pool.mapping() == res1.dictionary.pool.mapping()
 
 
 def test_pipeline_arrow_udf_path_identical(spark, transcripts, tmp_path):

@@ -79,3 +79,19 @@ def test_aggregates_are_partial_final(spark, transcripts):
     plan = _plan(template_frequency(enriched))
     # two HashAggregates around one exchange = map-side partial agg
     assert plan.count("HashAggregate") >= 2
+
+
+def test_template_examples_has_no_window(spark, transcripts):
+    """r2: template_examples is two-phase min-k — the Zipf-head template
+    must never funnel its row set through one Window task."""
+    from sherlog_parser_spark.plans.aggregate import template_examples
+    from sherlog_parser_spark.plans.dictionary import build_template_dictionary
+    from sherlog_parser_spark.plans.enrich import enrich_stage
+    from sherlog_parser_spark.data.dims import role_tool_dim
+    from sherlog_parser_spark.plans.parse import parse_stage
+
+    parsed = parse_stage(transcripts)
+    tdict = build_template_dictionary(parsed)
+    enriched = enrich_stage(parsed, tdict.df, role_tool_dim(spark))
+    plan = _plan(template_examples(enriched, k=5))
+    assert "Window" not in plan, plan

@@ -144,3 +144,43 @@ def test_streaming_route_restart_resumes(spark, stream_setup, tmp_path):
     got = {(r["conv_id"], r["turn_idx"]) for r in sink.select("conv_id", "turn_idx").collect()}
     expected = {(r["conv_id"], r["turn_idx"]) for r in batch.select("conv_id", "turn_idx").collect()}
     assert got == expected
+
+
+def test_streaming_route_crash_replay_no_duplicates(spark, stream_setup, tmp_path):
+    """Crash-replay semantics (r1 ADVICE): a batch whose sink write
+    SUCCEEDED but whose offset commit was lost must not duplicate rows on
+    restart.  Simulated by deleting the last commit marker from the
+    checkpoint, forcing Structured Streaming to replay that micro-batch."""
+    import os
+
+    src, tdict, root = stream_setup
+    out = str(tmp_path / "routed_replay")
+    ckpt = str(tmp_path / "ckpt_replay")
+
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=2)
+    q = start_stream_route(stream, tdict.df, out, ckpt, trigger_available_now=True)
+    q.awaitTermination(180)
+    q.stop()
+
+    commits = sorted(
+        f for f in os.listdir(os.path.join(ckpt, "commits")) if not f.startswith(".")
+    )
+    assert len(commits) >= 2  # 6 files / 2 per trigger -> >= 3 batches
+    # lose the last commit marker (and its hadoop checksum shadow — in a
+    # real crash neither file would exist)
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    stream2 = read_transcript_stream(spark, src, max_files_per_trigger=2)
+    q2 = start_stream_route(stream2, tdict.df, out, ckpt, trigger_available_now=True)
+    q2.awaitTermination(180)
+    q2.stop()
+
+    sink = spark.read.parquet(out)
+    batch = spark.read.parquet(src)
+    assert sink.count() == batch.count()  # replayed batch overwrote, not appended
+    got = {(r["conv_id"], r["turn_idx"]) for r in sink.select("conv_id", "turn_idx").collect()}
+    expected = {(r["conv_id"], r["turn_idx"]) for r in batch.select("conv_id", "turn_idx").collect()}
+    assert got == expected
