@@ -234,6 +234,40 @@ def q_train_test_split(spark, sf_dir):
 # joins (J4 analog) + TPC-H-ish
 # ---------------------------------------------------------------------------
 
+def q_timeseries_count_anomalies(spark, sf_dir):
+    """X3 time-series family: per-(event_type, hour) counter vector,
+    baseline = first 70% of windows, z-rule on the rest."""
+    from sherlog_parser_spark.operators.anomaly import timeseries_count_anomalies
+
+    ev = _read(spark, sf_dir, "events")
+    return timeseries_count_anomalies(
+        ev, ts_col="ts", window="1 hour", group_cols=("event_type",), train_frac=0.7, threshold=2.5
+    )
+
+
+def q_anomaly_incidents(spark, sf_dir):
+    """Composed incident detector (rows-only: DBSCAN is not
+    SQL-expressible).  Deterministic ts/value synthesized from vec_id so
+    the full flow — prefilter fallback, DBSCAN, small-cluster, numeric
+    z, OR-combine, ts-desc sort — runs on the fixture."""
+    from sherlog_parser_spark.operators.anomaly import detect_anomaly_incidents
+
+    emb = (
+        _read(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 2000)  # bound the O(n^2) DBSCAN window
+        .withColumn("ts", F.col("vec_id").cast("timestamp"))
+        .withColumn("value", (F.pmod(F.col("vec_id"), F.lit(97))).cast("double"))
+    )
+    return detect_anomaly_incidents(
+        emb,
+        id_cols=("vec_id",),
+        numeric_cols=("value",),
+        eps=0.8,
+        min_samples=5,
+        numeric_std_threshold=2.5,
+    ).select("vec_id", "cluster", "is_embedding_anomaly", "is_numeric_anomaly")
+
+
 def q_pricing_summary(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
     return (
@@ -600,6 +634,21 @@ def oracle_sql() -> dict[str, str]:
             f"len(tk) AS ws_tokens, {TS.dd_bpe_count('text')} AS bpe_tokens, "
             f"{TS.dd_fingerprint('tk', 'text', 3)} AS fingerprint FROM t"
         ),
+        "timeseries_count_anomalies": (
+            # mirrors timeseries_count_anomalies(window='1 hour',
+            # group_cols=('event_type',), train_frac=0.7, threshold=2.5);
+            # fixed-point fence comparison per the house float rule
+            "WITH c AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type, count(*) AS n "
+            "FROM events GROUP BY 1, 2), "
+            "r AS (SELECT c.*, dense_rank() OVER (ORDER BY ws) AS wrk, "
+            "(SELECT count(DISTINCT ws) FROM c) AS wtot FROM c), "
+            "s AS (SELECT event_type, avg(n) AS m, stddev_samp(n) AS sd FROM r "
+            "WHERE wrk <= floor(wtot * 0.7e0) GROUP BY 1) "
+            "SELECT r.ws AS window_start, r.event_type, r.n, "
+            "(sd IS NOT NULL AND sd > 0 AND "
+            "floor(abs(n - m) * 1e6 + 0.5e0) > floor(2.5e0 * sd * 1e6 + 0.5e0)) AS is_anomaly "
+            "FROM r JOIN s USING (event_type) WHERE wrk > floor(wtot * 0.7e0)"
+        ),
     }
 
 
@@ -633,4 +682,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_containment": q_json_containment,
         "dedup_keep_docs": q_dedup_keep_docs,
         "text_stats": q_text_stats,
+        "timeseries_count_anomalies": q_timeseries_count_anomalies,
+        "anomaly_incidents": q_anomaly_incidents,
     }
+
+
+# Queries with no oracle_sql entry, and why: the driver records a weaker
+# rows-only check for these (documented divergence, SURVEY §2.11).
+ROWS_ONLY = {
+    # DBSCAN density clustering is not expressible in ANSI SQL; the
+    # operator's semantics are pinned by tests/test_anomaly_x3.py
+    # (planted noise, small-cluster, numeric z, prefilter fallback).
+    "anomaly_incidents",
+}

@@ -98,3 +98,251 @@ def windowed_embedding_anomalies(
     if group_cols:
         return df.groupBy(*group_cols).applyInPandas(run, schema)
     return df.groupBy(F.lit(1).alias("_g")).applyInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# Isolation forest (X3 second family; reference
+# src/core/logai_tools.py:217-288 detect_semantic_anomalies with
+# algorithm="isolation_forest" via LogAI's AnomalyDetector)
+# ---------------------------------------------------------------------------
+
+MAX_TRAIN_ROWS = 100_000  # mirrors the reference's lookback limit=100000
+
+
+def isolation_forest_fit(
+    X: np.ndarray, n_trees: int = 100, max_samples: int = 256, seed: int = 42
+) -> dict:
+    """Fit a deterministic numpy isolation forest on the (bounded) train
+    matrix.  Fitting is a DRIVER-side step on the reference's own terms —
+    it trains on the first 70% of a <=100k-row lookback window — while
+    SCORING is distributed (Arrow-batched pandas UDF over the cluster).
+
+    Trees are nested tuples: (feature, split, left, right) | ("leaf", n).
+    """
+    if len(X) > MAX_TRAIN_ROWS:
+        raise ValueError(f"train set of {len(X)} rows exceeds guard {MAX_TRAIN_ROWS}")
+    rng = np.random.default_rng(seed)
+    X = np.asarray(X, dtype=np.float64)
+    n, d = X.shape
+    sub = min(max_samples, n)
+    max_depth = int(np.ceil(np.log2(max(sub, 2))))
+
+    def build(rows: np.ndarray, depth: int):
+        if depth >= max_depth or len(rows) <= 1:
+            return ("leaf", len(rows))
+        feats = np.flatnonzero(X[rows].min(0) < X[rows].max(0))
+        if len(feats) == 0:
+            return ("leaf", len(rows))
+        f = int(rng.choice(feats))
+        lo, hi = X[rows, f].min(), X[rows, f].max()
+        s = float(rng.uniform(lo, hi))
+        left = rows[X[rows, f] < s]
+        right = rows[X[rows, f] >= s]
+        if len(left) == 0 or len(right) == 0:
+            return ("leaf", len(rows))
+        return (f, s, build(left, depth + 1), build(right, depth + 1))
+
+    trees = [build(rng.choice(n, size=sub, replace=False), 0) for _ in range(n_trees)]
+    return {"trees": trees, "sub": sub}
+
+
+def _avg_path_factor(n: int) -> float:
+    """c(n): average unsuccessful-search path length in a BST."""
+    if n <= 1:
+        return 0.0
+    h = np.log(n - 1) + 0.5772156649015329
+    return 2.0 * h - 2.0 * (n - 1) / n
+
+
+def _tree_depths(tree, X: np.ndarray, depth: int = 0) -> np.ndarray:
+    """Vectorized per-batch descent: boolean masks instead of per-row
+    recursion, so scoring stays numpy-speed inside the Arrow batch."""
+    if tree[0] == "leaf":
+        n = tree[1]
+        return np.full(len(X), depth + _avg_path_factor(n))
+    f, s, left, right = tree
+    out = np.empty(len(X))
+    mask = X[:, f] < s
+    if mask.any():
+        out[mask] = _tree_depths(left, X[mask], depth + 1)
+    if (~mask).any():
+        out[~mask] = _tree_depths(right, X[~mask], depth + 1)
+    return out
+
+
+def isolation_forest_scores_np(model: dict, X: np.ndarray) -> np.ndarray:
+    """Anomaly score in (0,1]: 2^(-E[h(x)]/c(sub)); > ~0.6 is anomalous."""
+    X = np.asarray(X, dtype=np.float64)
+    depths = np.mean([_tree_depths(t, X) for t in model["trees"]], axis=0)
+    return np.power(2.0, -depths / max(_avg_path_factor(model["sub"]), 1e-12))
+
+
+def semantic_anomalies_iforest(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    order_cols: tuple[str, ...] = ("vec_id",),
+    train_frac: float = 0.7,
+    threshold: float = 0.6,
+    n_trees: int = 100,
+    seed: int = 42,
+) -> DataFrame:
+    """Reference detect_semantic_anomalies shape: fit on the first
+    ``train_frac`` of rows (by order_cols), score the REST distributedly;
+    returns the test rows + (iforest_score, is_anomaly).
+
+    The train collect is bounded by MAX_TRAIN_ROWS (the reference's own
+    lookback limit); scoring runs as an Arrow-batched pandas UDF with the
+    fitted trees shipped in the closure — no per-row Python dispatch.
+    """
+    from sherlog_parser_spark.operators.split import ordered_split
+
+    labeled = ordered_split(df, list(order_cols), train_frac=train_frac)
+    train_rows = labeled.filter(F.col("split") == "train").select(vec_col).limit(MAX_TRAIN_ROWS + 1).collect()
+    if len(train_rows) > MAX_TRAIN_ROWS:
+        raise ValueError(f"train split exceeds guard {MAX_TRAIN_ROWS}; tighten the lookback")
+    model = isolation_forest_fit(
+        np.array([r[0] for r in train_rows]), n_trees=n_trees, seed=seed
+    )
+
+    @F.pandas_udf("double")
+    def score_udf(vecs: pd.Series) -> pd.Series:
+        X = np.array(vecs.tolist())
+        return pd.Series(isolation_forest_scores_np(model, X))
+
+    return (
+        labeled.filter(F.col("split") == "test")
+        .drop("split")
+        .withColumn("iforest_score", score_udf(F.col(vec_col)))
+        .withColumn("is_anomaly", F.col("iforest_score") > threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series window-count anomalies (X3 third family; reference
+# src/core/logai_tools.py:79-143 detect_timeseries_anomalies: counter
+# vector per (window, group), fit on first 70% of windows, flag the rest)
+# ---------------------------------------------------------------------------
+
+
+def timeseries_count_anomalies(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "15 minutes",
+    group_cols: tuple[str, ...] = (),
+    train_frac: float = 0.7,
+    threshold: float = 2.5,
+) -> DataFrame:
+    """Counter-vector anomaly detection: per-(group, window) counts; the
+    chronologically first ``train_frac`` of windows are the baseline; a
+    test window is anomalous when |n - mean| > threshold*std of its
+    group's baseline (fixed-point-quantized comparison — cross-engine
+    float discipline).
+
+    The dense_rank window is over the AGGREGATED counter vector
+    (#windows x #groups rows — bounded by the time range, never data-
+    sized), not over raw rows, so the unpartitioned sort is safe at any
+    input scale.
+    """
+    from pyspark.sql import Window as W
+
+    counts = (
+        df.groupBy(F.window(ts_col, window).alias("w"), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), *group_cols, "n")
+    )
+    ranked = counts.withColumn("_wrk", F.dense_rank().over(W.orderBy("window_start"))).withColumn(
+        "_wtot", F.max(F.col("_wrk")).over(W.partitionBy())
+    )
+    train = ranked.filter(F.col("_wrk") <= F.floor(F.col("_wtot") * train_frac))
+    gb = list(group_cols)
+    stats = train.groupBy(*gb).agg(
+        F.avg("n").alias("_mean"), F.stddev_samp("n").alias("_std")
+    )
+    test = ranked.filter(F.col("_wrk") > F.floor(F.col("_wtot") * train_frac))
+    joined = test.join(F.broadcast(stats), gb) if gb else test.crossJoin(F.broadcast(stats))
+    q = lambda c: F.floor(c * 1e6 + F.lit(0.5))  # noqa: E731
+    return joined.withColumn(
+        "is_anomaly",
+        F.col("_std").isNotNull()
+        & (F.col("_std") > 0)
+        & (q(F.abs(F.col("n") - F.col("_mean"))) > q(F.lit(threshold) * F.col("_std"))),
+    ).select("window_start", *gb, "n", "is_anomaly")
+
+
+# ---------------------------------------------------------------------------
+# Composed incident detector (reference
+# src/core/anomaly_incidents.py:61-206 detect_anomalies): prefilter with
+# fallback -> DBSCAN (noise | small cluster) -> per-cluster numeric
+# z-score -> OR-combine -> sort by ts desc
+# ---------------------------------------------------------------------------
+
+
+def detect_anomaly_incidents(
+    df: DataFrame,
+    id_cols: tuple[str, ...] = ("vec_id",),
+    vec_col: str = "embedding",
+    numeric_cols: tuple[str, ...] = (),
+    ts_col: str = "ts",
+    eps: float = 0.3,
+    min_samples: int = 5,
+    numeric_std_threshold: float = 2.5,
+    prefilter_fn=None,
+) -> DataFrame:
+    """The reference's end-to-end incident flow as ONE operator.
+
+    * prefilter_fn (optional): volume prefilter with the reference's
+      fallback — if it empties the frame or leaves < min_samples rows,
+      the ORIGINAL frame is used (anomaly_incidents.py:94-116).  The
+      fallback check is one bounded count on the already-filtered frame.
+    * embedding anomaly: DBSCAN noise OR member of a non-noise cluster
+      smaller than min_samples (:119-136).
+    * numeric anomaly: within each non-noise cluster, any numeric field
+      with >=2 values, std>0 and |v-mean| > threshold*std (:208-248).
+    * is_anomaly = embedding | numeric; anomalous rows sorted ts desc.
+    """
+    base = df
+    if prefilter_fn is not None:
+        filtered = prefilter_fn(df)
+        n_kept = filtered.count()
+        if n_kept == 0 or n_kept < min_samples:
+            base = df  # reference fallback: prefilter too aggressive
+        else:
+            base = filtered
+
+    clustered = base.join(
+        windowed_embedding_anomalies(
+            base.select(*id_cols, vec_col),
+            vec_col=vec_col,
+            id_cols=id_cols,
+            eps=eps,
+            min_samples=min_samples,
+            small_cluster_min=min_samples,
+        ).select(*id_cols, "cluster", "is_embedding_anomaly"),
+        list(id_cols),
+    )
+
+    num_flag = F.lit(False)
+    if numeric_cols:
+        aggs = []
+        for c in numeric_cols:
+            aggs += [
+                F.avg(c).alias(f"_m_{c}"),
+                F.stddev_samp(c).alias(f"_s_{c}"),
+                F.count(c).alias(f"_n_{c}"),
+            ]
+        cstats = clustered.filter(F.col("cluster") != -1).groupBy("cluster").agg(*aggs)
+        clustered = clustered.join(F.broadcast(cstats), "cluster", "left")
+        for c in numeric_cols:
+            num_flag = num_flag | (
+                (F.col("cluster") != -1)
+                & (F.col(f"_n_{c}") >= 2)
+                & (F.col(f"_s_{c}") > 0)
+                & (F.abs(F.col(c) - F.col(f"_m_{c}")) > numeric_std_threshold * F.col(f"_s_{c}"))
+            )
+        num_flag = F.coalesce(num_flag, F.lit(False))
+
+    flagged = clustered.withColumn("is_numeric_anomaly", num_flag).withColumn(
+        "is_anomaly", F.col("is_embedding_anomaly") | F.col("is_numeric_anomaly")
+    )
+    keep = [c for c in flagged.columns if not c.startswith("_")]
+    return flagged.filter(F.col("is_anomaly")).select(*keep).orderBy(F.desc(ts_col), *id_cols)
