@@ -79,3 +79,66 @@ def route_stage(
 
 def read_routed(spark, out_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
+
+
+# ---------------------------------------------------------------------------
+# Iceberg writeTo path (north_rule "Iceberg sinks").
+#
+# Install attempt recorded (r2): this sandbox has NO iceberg-spark-runtime
+# jar on disk (`find / -name '*iceberg*'` empty) and NO network (DNS
+# resolution fails for repo1.maven.org), so the runtime jar cannot be
+# fetched and `spark.jars.packages` cannot resolve.  The code path below
+# is therefore exercised in tests only up to its detection/fallback
+# branch; on a cluster WITH the jar + a configured catalog it performs the
+# real `writeTo(...).partitionedBy(bucket(N, conv_id), ...)` append.
+# ---------------------------------------------------------------------------
+
+
+def iceberg_available(spark) -> bool:
+    """True iff the Iceberg SparkCatalog class is loadable in this JVM."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def route_stage_iceberg(
+    enriched: DataFrame,
+    table: str,
+    n_buckets: int = 8,
+    create: bool = True,
+    fallback_dir: str | None = None,
+    **fallback_kwargs,
+) -> str:
+    """Route into an Iceberg table partitioned by
+    ``(bucket(n_buckets, conv_id), days(ts), template_id)`` — the
+    north_rule layout — via the DataFrameWriterV2 API.  Returns which
+    path ran: 'iceberg' or 'parquet-fallback'.
+
+    When the runtime jar is absent (this sandbox), falls back to
+    ``route_stage`` into ``fallback_dir`` (same data, directory-encoded
+    partitioning) and returns 'parquet-fallback'; raises if neither path
+    is possible.
+    """
+    spark = enriched.sparkSession
+    if iceberg_available(spark):
+        from pyspark.sql.functions import partitioning as P
+
+        cols = route_cols(enriched)
+        routed = enriched.select(*cols)
+        writer = routed.writeTo(table).partitionedBy(
+            P.bucket(n_buckets, F.col("conv_id")), P.days(F.col("ts")), F.col("template_id")
+        )
+        if create:
+            writer.createOrReplace()
+        else:
+            writer.append()
+        return "iceberg"
+    if fallback_dir is None:
+        raise RuntimeError(
+            "Iceberg runtime jar is not on the classpath and no fallback_dir "
+            "was given; install iceberg-spark-runtime and configure a catalog"
+        )
+    route_stage(enriched, fallback_dir, n_buckets=n_buckets, **fallback_kwargs)
+    return "parquet-fallback"
