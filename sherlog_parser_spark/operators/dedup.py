@@ -202,8 +202,8 @@ def embedding_near_dups(
     threshold: float = 0.95,
 ) -> DataFrame:
     """Cosine near-duplicate pairs via self-join.  Quadratic candidate
-    set — intended for small partitions or as the verifier behind the
-    LSH variant (similarity.hyperplane_lsh_buckets) at scale."""
+    set — the small-scale verifier behind ``embedding_near_dups_lsh``
+    (which is the 100 TB path)."""
     from sherlog_parser_spark.operators.similarity import cosine_expr
 
     norm = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
@@ -214,6 +214,60 @@ def embedding_near_dups(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def embedding_near_dups_lsh(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 6,
+    dims: int = 64,
+    expand_hamming: int = 1,
+) -> DataFrame:
+    """Scale path for embedding near-dup detection: candidate pairs are
+    generated ONLY within shared hyperplane-LSH buckets — an equi-join on
+    the bucket key (shuffle-partitioned, AQE-skew-split) instead of an
+    O(n^2) cross product.
+
+    Each vector claims membership in its own bucket plus every bucket
+    within ``expand_hamming`` bit flips (multi-probe, same trick as
+    similarity.lsh_ann_topk): two vectors collide iff their buckets differ
+    in <= 2*expand_hamming bits, which for cos >= 0.95 neighbors under 6
+    planes recovers ~98% of true pairs while keeping candidates
+    bucket-local.  Exact cosine then filters the candidates, so emitted
+    pairs are exact — LSH only bounds RECALL, never precision.
+    """
+    from sherlog_parser_spark.operators.similarity import cosine_expr, hyperplane_lsh_buckets
+
+    bb = hyperplane_lsh_buckets(emb, planes, dims, id_col, vec_col)
+
+    def flip(bucket, i: int):
+        flipped = F.when(F.substring(bucket, i + 1, 1) == "0", F.lit("1")).otherwise(F.lit("0"))
+        return F.concat(F.substring(bucket, 1, i), flipped, F.substring(bucket, i + 2, planes - i - 1))
+
+    probes = [F.col("bucket")]
+    if expand_hamming >= 1:
+        probes += [flip(F.col("bucket"), i) for i in range(planes)]
+    member = bb.select(F.col(id_col).alias("id"), F.explode(F.array(*probes)).alias("mb"))
+
+    a, b = member.alias("a"), member.alias("b")
+    cand = (
+        a.join(b, (F.col("a.mb") == F.col("b.mb")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    return (
+        cand.join(vecs.withColumnRenamed("id", "id_a").withColumnRenamed("v", "va"), "id_a")
+        .join(vecs.withColumnRenamed("id", "id_b").withColumnRenamed("v", "vb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

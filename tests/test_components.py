@@ -70,3 +70,42 @@ def test_connected_components_nonconvergence_raises(spark):
     # same graph resolves to one component
     ok = connected_components(chain, max_iterations=35)
     assert {r["component"] for r in ok.collect()} == {0}
+
+
+def test_star_components_match_union_find(spark):
+    """Large-star/small-star vs the union-find oracle on a random graph,
+    a long chain (the case hash-to-min needs O(n) rounds for), cliques,
+    and isolated self-pairs."""
+    from sherlog_parser_spark.operators.components import connected_components_star
+
+    rng = random.Random(7)
+    nodes = list(range(300))
+    pairs = [tuple(sorted(rng.sample(nodes, 2))) for _ in range(200)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in connected_components_star(df).collect()}
+    assert got == _union_find(pairs)
+
+
+def test_star_components_long_chain_few_rounds(spark):
+    """A 120-node chain must converge well within 25 star rounds
+    (hash-to-min would need ~120)."""
+    from sherlog_parser_spark.operators.components import connected_components_star
+
+    chain = [(i, i + 1) for i in range(120)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in connected_components_star(df, max_iterations=25).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 121
+
+
+def test_star_components_two_cliques_and_bridge(spark):
+    from sherlog_parser_spark.operators.components import connected_components_star
+
+    pairs = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    pairs += [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
+    pairs += [(20, 20)]  # degenerate self-pair -> isolated node
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in connected_components_star(df).collect()}
+    assert {got[i] for i in range(5)} == {0}
+    assert {got[i] for i in range(10, 15)} == {10}
+    assert got[20] == 20

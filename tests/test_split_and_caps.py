@@ -79,3 +79,38 @@ def test_hot_shingle_cap_consistent_sizes(spark):
     )
     out = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.0, max_df=5)
     assert out.count() == 0
+
+
+def test_embedding_near_dups_lsh_matches_brute_on_planted(spark):
+    """LSH-bucketed near-dup (scale path) must recover the planted
+    near-dup pairs the brute-force verifier finds; precision is exact by
+    construction (cosine recomputed on candidates)."""
+    import numpy as np
+
+    from sherlog_parser_spark.operators.dedup import (
+        embedding_near_dups,
+        embedding_near_dups_lsh,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = []
+    vid = 0
+    for _ in range(15):
+        q = rng.standard_normal(64)
+        q /= np.linalg.norm(q)
+        for _ in range(3):  # 3 near-copies, pairwise cos ~0.99
+            v = q + (0.1 / 8) * rng.standard_normal(64)
+            rows.append((vid, [float(x) for x in (v / np.linalg.norm(v))]))
+            vid += 1
+    for _ in range(60):  # background noise vectors
+        v = rng.standard_normal(64)
+        rows.append((vid, [float(x) for x in (v / np.linalg.norm(v))]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>").cache()
+
+    brute = {(r["id_a"], r["id_b"]) for r in embedding_near_dups(emb, threshold=0.9).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in embedding_near_dups_lsh(emb, threshold=0.9).collect()}
+    assert brute  # fixture really plants pairs
+    assert lsh <= brute  # exact-precision: every emitted pair passes the real cosine
+    recall = len(lsh & brute) / len(brute)
+    assert recall >= 0.95, f"LSH near-dup recall {recall:.3f}"
