@@ -365,6 +365,26 @@ def q_dedup_keep_docs(spark, sf_dir):
     return dedup_keep_representatives(docs, pairs, "doc_id").select("doc_id")
 
 
+def q_dedup_keep_docs_star(spark, sf_dir):
+    """Same dedup decision as dedup_keep_docs but resolved with the
+    large-star/small-star components (O(log n) rounds) — both algorithms
+    must agree with the recursive-CTE oracle."""
+    from sherlog_parser_spark.operators.components import connected_components_star
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = DD.minhash_dup_candidates(docs, "text", "doc_id", n=3, k=8, bands=4)
+    comps = connected_components_star(pairs)
+    losers = comps.filter(F.col("id") != F.col("component")).select(F.col("id").alias("doc_id"))
+    return docs.join(losers, "doc_id", "left_anti").select("doc_id")
+
+
+def q_embedding_near_dups_lsh(spark, sf_dir):
+    """LSH-bucketed near-dup pairs (Hamming<=2 bucket collision ==
+    radius-1 membership balls intersecting), exact cosine filter."""
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1500)
+    return DD.embedding_near_dups_lsh(emb, threshold=0.25).orderBy("id_a", "id_b")
+
+
 def q_text_stats(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     # quality is emitted as floor(q*1e4 + 0.5) — an integer — because
@@ -432,6 +452,14 @@ _SIMHASH_BITS = " + ".join(
 
 
 def oracle_sql() -> dict[str, str]:
+    sqls = _oracle_sqls()
+    # the star-components variant must agree with the same recursive-CTE
+    # component oracle as the hash-to-min variant
+    sqls["dedup_keep_docs_star"] = sqls["dedup_keep_docs"]
+    return sqls
+
+
+def _oracle_sqls() -> dict[str, str]:
     return {
         "template_freq": (
             f"SELECT {_MASK} AS template, count(*) AS frequency "
@@ -634,6 +662,24 @@ def oracle_sql() -> dict[str, str]:
             f"len(tk) AS ws_tokens, {TS.dd_bpe_count('text')} AS bpe_tokens, "
             f"{TS.dd_fingerprint('tk', 'text', 3)} AS fingerprint FROM t"
         ),
+        "embedding_near_dups_lsh": (
+            # radius-1 membership balls intersect iff bucket Hamming <= 2
+            "WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1500), "
+            f"bk AS (SELECT vec_id, embedding, {_dd_bucket('embedding')} AS bucket FROM e), "
+            "cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "a.embedding AS va, b.embedding AS vb FROM bk a JOIN bk b "
+            "ON a.vec_id < b.vec_id AND ("
+            + " + ".join(
+                f"(CASE WHEN substr(a.bucket, {i + 1}, 1) = substr(b.bucket, {i + 1}, 1) THEN 0 ELSE 1 END)"
+                for i in range(6)
+            )
+            + ") <= 2) "
+            f"SELECT id_a, id_b, round(({_dd_dot('va', 'vb')}) / "
+            f"(({_dd_norm('va')}) * ({_dd_norm('vb')})), 6) AS cos FROM cand "
+            f"WHERE round(({_dd_dot('va', 'vb')}) / "
+            f"(({_dd_norm('va')}) * ({_dd_norm('vb')})), 6) >= 0.25e0 "
+            "ORDER BY id_a, id_b"
+        ),
         "timeseries_count_anomalies": (
             # mirrors timeseries_count_anomalies(window='1 hour',
             # group_cols=('event_type',), train_frac=0.7, threshold=2.5);
@@ -681,6 +727,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "json_containment": q_json_containment,
         "dedup_keep_docs": q_dedup_keep_docs,
+        "dedup_keep_docs_star": q_dedup_keep_docs_star,
+        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "text_stats": q_text_stats,
         "timeseries_count_anomalies": q_timeseries_count_anomalies,
         "anomaly_incidents": q_anomaly_incidents,

@@ -170,6 +170,12 @@ def main() -> None:
             "n_big": n_big,
             "factor": n_big / n_small,
             "efficiency": round((ts / tb) / (n_big / n_small), 3),
+            "note": (
+                "shared-box single-run spread is 0.75-0.97; quiet-box "
+                "min-of-reps measured 0.85 — see BASELINE.md 'Round-2 "
+                "scaling' for the per-run data and the 8->32 stage "
+                "breakdown showing the single-socket bandwidth floor"
+            ),
         }
     # max-throughput run on the full machine (headline turns/sec) —
     # min-of-REPS like the scaling runs: a single run on this shared box
