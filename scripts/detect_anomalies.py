@@ -37,6 +37,12 @@ def main() -> int:
     ap.add_argument("--min-samples", type=int, default=5)
     ap.add_argument("--std-threshold", type=float, default=2.5)
     ap.add_argument("--hours", type=float, default=None)
+    ap.add_argument(
+        "--window",
+        default=None,
+        help="time-bucket width (e.g. '1 hour'): cluster each bucket "
+        "independently in parallel instead of one bounded lookback group",
+    )
     ap.add_argument("--limit", type=int, default=100_000)
     ap.add_argument("--show", type=int, default=10)
     ap.add_argument("--master", default=None)
@@ -57,6 +63,10 @@ def main() -> int:
                 >= F.lit(end) - F.expr(f"INTERVAL {int(args.hours * 3600)} SECONDS")
             )
         df = df.limit(args.limit)
+        window_col = None
+        if args.window:
+            window_col = "_win"
+            df = df.withColumn(window_col, F.window(args.ts_col, args.window).start)
         numeric_cols = tuple(c for c in args.numeric_cols.split(",") if c)
         out = detect_anomaly_incidents(
             df,
@@ -67,6 +77,7 @@ def main() -> int:
             eps=args.eps,
             min_samples=args.min_samples,
             numeric_std_threshold=args.std_threshold,
+            window_col=window_col,
         )
         if args.out:
             out.write.mode("overwrite").parquet(args.out)

@@ -287,6 +287,7 @@ def detect_anomaly_incidents(
     min_samples: int = 5,
     numeric_std_threshold: float = 2.5,
     prefilter_fn=None,
+    window_col: str | None = None,
 ) -> DataFrame:
     """The reference's end-to-end incident flow as ONE operator.
 
@@ -299,6 +300,12 @@ def detect_anomaly_incidents(
     * numeric anomaly: within each non-noise cluster, any numeric field
       with >=2 values, std>0 and |v-mean| > threshold*std (:208-248).
     * is_anomaly = embedding | numeric; anomalous rows sorted ts desc.
+
+    ``window_col``: without it the whole frame is ONE DBSCAN group —
+    matching the reference's bounded 4-hour/100k lookback, guarded by
+    MAX_WINDOW_ROWS.  At scale, pass a time-bucket column: each window
+    clusters independently in parallel (applyInPandas per window) and
+    cluster ids / numeric baselines are scoped per (window, cluster).
     """
     base = df
     if prefilter_fn is not None:
@@ -309,11 +316,13 @@ def detect_anomaly_incidents(
         else:
             base = filtered
 
+    emb_cols = list(id_cols) + ([window_col] if window_col else []) + [vec_col]
     clustered = base.join(
         windowed_embedding_anomalies(
-            base.select(*id_cols, vec_col),
+            base.select(*dict.fromkeys(emb_cols)),
             vec_col=vec_col,
             id_cols=id_cols,
+            window_col=window_col,
             eps=eps,
             min_samples=min_samples,
             small_cluster_min=min_samples,
@@ -321,6 +330,7 @@ def detect_anomaly_incidents(
         list(id_cols),
     )
 
+    cluster_key = ([window_col] if window_col else []) + ["cluster"]
     num_flag = F.lit(False)
     if numeric_cols:
         aggs = []
@@ -330,8 +340,8 @@ def detect_anomaly_incidents(
                 F.stddev_samp(c).alias(f"_s_{c}"),
                 F.count(c).alias(f"_n_{c}"),
             ]
-        cstats = clustered.filter(F.col("cluster") != -1).groupBy("cluster").agg(*aggs)
-        clustered = clustered.join(F.broadcast(cstats), "cluster", "left")
+        cstats = clustered.filter(F.col("cluster") != -1).groupBy(*cluster_key).agg(*aggs)
+        clustered = clustered.join(F.broadcast(cstats), cluster_key, "left")
         for c in numeric_cols:
             num_flag = num_flag | (
                 (F.col("cluster") != -1)

@@ -175,3 +175,42 @@ def test_detect_anomaly_incidents_prefilter_applied(spark, incident_frame):
         min_samples=5, prefilter_fn=drop_cluster2,
     ).collect()}
     assert got == {19}  # noise points were filtered out pre-DBSCAN
+
+
+def test_detect_anomaly_incidents_windowed(spark):
+    """window_col scales the composed flow: each time bucket clusters
+    independently and numeric baselines are scoped per (window, cluster)."""
+    rng = np.random.default_rng(9)
+    rows = []
+    vid = 0
+    for w in (0, 1):
+        center = np.zeros(6)
+        center[w] = 1.0
+        # window 0's cluster values ~10, window 1's ~50: a 50 in window 1
+        # is NORMAL even though it would be a wild outlier vs window 0.
+        # values are DETERMINISTIC (max dev 1.4 sigma) so only the planted
+        # outlier can cross the 2.5-sigma fence
+        base_val = 10.0 if w == 0 else 50.0
+        for i in range(20):
+            v = center + rng.normal(0, 0.01, 6)
+            val = base_val + (i % 5) * 0.01
+            if w == 0 and i == 19:
+                val = 50.0  # outlier only within window 0's baseline
+            rows.append((vid, w, [float(x) for x in v], val, vid))
+            vid += 1
+        rows.append((vid, w, [float(-2 - w)] * 6, base_val, vid))  # noise point per window
+        vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id LONG, win LONG, embedding ARRAY<DOUBLE>, value DOUBLE, sec LONG"
+    ).select("vec_id", "win", "embedding", "value", F.col("sec").cast("timestamp").alias("ts"))
+
+    out = detect_anomaly_incidents(
+        df, id_cols=("vec_id",), numeric_cols=("value",),
+        eps=0.3, min_samples=5, window_col="win",
+    ).collect()
+    flagged = {r["vec_id"]: r for r in out}
+    # per-window noise points flagged; window-0 numeric outlier flagged;
+    # window-1 rows with value 50 are NOT flagged (their own baseline)
+    assert set(flagged) == {19, 20, 41}
+    assert flagged[19]["is_numeric_anomaly"]
+    assert flagged[20]["is_embedding_anomaly"] and flagged[41]["is_embedding_anomaly"]
