@@ -365,6 +365,13 @@ def q_dedup_keep_docs(spark, sf_dir):
     return dedup_keep_representatives(docs, pairs, "doc_id").select("doc_id")
 
 
+def q_simhash_dup_candidates(spark, sf_dir):
+    """Banded SimHash near-dup pairs — lossless at max_hamming <= bands-1
+    (pigeonhole), so the exact all-pairs DuckDB oracle must agree."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return DD.simhash_dup_candidates(docs, "text", "doc_id", max_hamming=3, bands=4)
+
+
 def q_dedup_keep_docs_star(spark, sf_dir):
     """Same dedup decision as dedup_keep_docs but resolved with the
     large-star/small-star components (O(log n) rounds) — both algorithms
@@ -662,6 +669,17 @@ def _oracle_sqls() -> dict[str, str]:
             f"len(tk) AS ws_tokens, {TS.dd_bpe_count('text')} AS bpe_tokens, "
             f"{TS.dd_fingerprint('tk', 'text', 3)} AS fingerprint FROM t"
         ),
+        "simhash_dup_candidates": (
+            # exact all-pairs oracle: banding is lossless for hamming <= 3
+            "WITH h AS (SELECT doc_id, "
+            f"list_transform(list_distinct({_TOKS}), t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hs "
+            "FROM documents WHERE doc_id < 200), "
+            f"s AS (SELECT doc_id AS id, ({_SIMHASH_BITS}) AS simhash FROM h) "
+            "SELECT a.id AS id_a, b.id AS id_b, "
+            "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming "
+            "FROM s a JOIN s b ON a.id < b.id "
+            "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
+        ),
         "embedding_near_dups_lsh": (
             # radius-1 membership balls intersect iff bucket Hamming <= 2
             "WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1500), "
@@ -728,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_containment": q_json_containment,
         "dedup_keep_docs": q_dedup_keep_docs,
         "dedup_keep_docs_star": q_dedup_keep_docs_star,
+        "simhash_dup_candidates": q_simhash_dup_candidates,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "text_stats": q_text_stats,
         "timeseries_count_anomalies": q_timeseries_count_anomalies,

@@ -195,6 +195,57 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
 
 
+def simhash_dup_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: the 60 populated bits are split into
+    ``bands`` 15-bit bands; by pigeonhole, two hashes within Hamming
+    distance ``bands - 1`` share at least one identical band, so
+    candidate generation is an equi-join on (band, band_bits) — never an
+    all-pairs scan.  Candidates are then filtered by the EXACT Hamming
+    distance (bit_count of xor), so emitted pairs are exact; banding only
+    bounds recall, and with max_hamming <= bands - 1 recall is 100%.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    assert 60 % bands == 0, "bands must divide 60"
+    width = 60 // bands
+    mask = (1 << width) - 1
+    sh = simhash64(df, text_col, id_col)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("bits"),
+            )
+            for b in range(bands)
+        ]
+    )
+    bb = sh.select("id", "simhash", F.explode(band_structs).alias("bs")).select(
+        "id", "simhash", F.col("bs.band").alias("band"), F.col("bs.bits").alias("bits")
+    )
+    a, b = bb.alias("a"), bb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -114,3 +114,34 @@ def test_embedding_near_dups_lsh_matches_brute_on_planted(spark):
     assert lsh <= brute  # exact-precision: every emitted pair passes the real cosine
     recall = len(lsh & brute) / len(brute)
     assert recall >= 0.95, f"LSH near-dup recall {recall:.3f}"
+
+
+def test_simhash_banding_lossless_within_bands_minus_one(spark):
+    """Pigeonhole guarantee: with 4 bands, banded candidate generation
+    finds EVERY pair at hamming <= 3 (compare vs exact all-pairs)."""
+    from pyspark.sql import functions as F
+
+    from sherlog_parser_spark.operators.dedup import simhash64, simhash_dup_candidates
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 150
+    )
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_dup_candidates(docs, max_hamming=3, bands=4).collect()
+    }
+    sh = simhash64(docs).alias("a")
+    b = simhash64(docs).alias("b")
+    exact = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in sh.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == exact
+    assert exact  # fixture genuinely contains near-dup simhashes
