@@ -95,3 +95,29 @@ def test_template_examples_has_no_window(spark, transcripts):
     enriched = enrich_stage(parsed, tdict.df, role_tool_dim(spark))
     plan = _plan(template_examples(enriched, k=5))
     assert "Window" not in plan, plan
+
+
+def test_dedup_scale_paths_have_no_cartesian(spark):
+    """r2 scale paths: candidate generation must be key-equi-joins —
+    never CartesianProduct / BroadcastNestedLoopJoin."""
+    from sherlog_parser_spark.operators.dedup import (
+        embedding_near_dups_lsh,
+        ngram_jaccard_pairs,
+        simhash_dup_candidates,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma {i} delta") for i in range(50)], "doc_id INT, text STRING"
+    )
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 13) for d in range(64)]) for i in range(50)],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    for df in (
+        ngram_jaccard_pairs(docs, max_df=10, threshold=0.1),
+        simhash_dup_candidates(docs),
+        embedding_near_dups_lsh(emb, threshold=0.5),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
