@@ -32,10 +32,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # 600k convs (~9.8M turns): at 300k the ~10-15s of per-run constants
 # (codegen compile, dictionary collect/merge, job commit) are >20% of the
-# 4-core wall time and cap the measured 1->4 ratio at ~0.76; at 600k they
-# amortize and the same pipeline measures 0.85-0.97 (r2 profiling).  A
-# real N->4N cluster amortizes these constants over hours, so the larger
-# input is the more faithful proxy for the north_rule criterion.
+# 4-core wall time; at 600k they amortize (single sessions measure
+# 0.75-0.85 depending on contention draw; see BASELINE.md for all r2
+# runs).  A real N->4N cluster amortizes these constants over hours, so
+# the larger input is the more faithful proxy for the north_rule rule.
 BENCH_CONVS = int(os.environ.get("SHERLOG_BENCH_CONVS", "600000"))
 SKIP_SCALING = os.environ.get("SHERLOG_BENCH_NO_SCALING") == "1"
 REPS = int(os.environ.get("SHERLOG_BENCH_REPS", "2"))
@@ -171,10 +171,11 @@ def main() -> None:
             "factor": n_big / n_small,
             "efficiency": round((ts / tb) / (n_big / n_small), 3),
             "note": (
-                "shared-box single-run spread is 0.75-0.97; quiet-box "
-                "min-of-reps measured 0.85 — see BASELINE.md 'Round-2 "
-                "scaling' for the per-run data and the 8->32 stage "
-                "breakdown showing the single-socket bandwidth floor"
+                "single bench sessions on this shared box land in "
+                "0.75-0.85 (pooled min over 8 r2 run-pairs: 0.77) — see "
+                "BASELINE.md 'Round-2 scaling' for every run and the "
+                "8->32 stage breakdown showing the single-socket "
+                "bandwidth floor"
             ),
         }
     # max-throughput run on the full machine (headline turns/sec) —
