@@ -224,6 +224,53 @@ def semantic_anomalies_iforest(
 # ---------------------------------------------------------------------------
 
 
+def count_baseline(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "15 minutes",
+    group_cols: tuple[str, ...] = (),
+    train_frac: float = 1.0,
+) -> DataFrame:
+    """Per-group (mean, std) of per-window counts over the
+    chronologically first ``train_frac`` of windows — the frozen baseline
+    the streaming detector broadcasts (and the train half of
+    ``timeseries_count_anomalies``).  Returns (group_cols..., _mean, _std)."""
+    from pyspark.sql import Window as W
+
+    counts = (
+        df.groupBy(F.window(ts_col, window).alias("w"), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), *group_cols, "n")
+    )
+    if train_frac < 1.0:
+        ranked = counts.withColumn(
+            "_wrk", F.dense_rank().over(W.orderBy("window_start"))
+        ).withColumn("_wtot", F.max(F.col("_wrk")).over(W.partitionBy()))
+        counts = ranked.filter(F.col("_wrk") <= F.floor(F.col("_wtot") * train_frac))
+    return counts.groupBy(*group_cols).agg(
+        F.avg("n").alias("_mean"), F.stddev_samp("n").alias("_std")
+    )
+
+
+def flag_counts_against_baseline(
+    counts: DataFrame,
+    baseline: DataFrame,
+    group_cols: tuple[str, ...] = (),
+    threshold: float = 2.5,
+) -> DataFrame:
+    """Join per-window counts to a frozen baseline and apply the
+    fixed-point z-rule (shared by the batch and streaming detectors)."""
+    gb = list(group_cols)
+    joined = counts.join(F.broadcast(baseline), gb) if gb else counts.crossJoin(F.broadcast(baseline))
+    q = lambda c: F.floor(c * 1e6 + F.lit(0.5))  # noqa: E731
+    return joined.withColumn(
+        "is_anomaly",
+        F.col("_std").isNotNull()
+        & (F.col("_std") > 0)
+        & (q(F.abs(F.col("n") - F.col("_mean"))) > q(F.lit(threshold) * F.col("_std"))),
+    ).drop("_mean", "_std")
+
+
 def timeseries_count_anomalies(
     df: DataFrame,
     ts_col: str = "ts",
@@ -259,14 +306,11 @@ def timeseries_count_anomalies(
         F.avg("n").alias("_mean"), F.stddev_samp("n").alias("_std")
     )
     test = ranked.filter(F.col("_wrk") > F.floor(F.col("_wtot") * train_frac))
-    joined = test.join(F.broadcast(stats), gb) if gb else test.crossJoin(F.broadcast(stats))
-    q = lambda c: F.floor(c * 1e6 + F.lit(0.5))  # noqa: E731
-    return joined.withColumn(
-        "is_anomaly",
-        F.col("_std").isNotNull()
-        & (F.col("_std") > 0)
-        & (q(F.abs(F.col("n") - F.col("_mean"))) > q(F.lit(threshold) * F.col("_std"))),
-    ).select("window_start", *gb, "n", "is_anomaly")
+    # shared z-rule (flag_counts_against_baseline) — the streaming
+    # detector uses the same function, so semantics can never fork
+    return flag_counts_against_baseline(test, stats, group_cols, threshold).select(
+        "window_start", *gb, "n", "is_anomaly"
+    )
 
 
 # ---------------------------------------------------------------------------

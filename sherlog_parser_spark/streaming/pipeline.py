@@ -100,3 +100,29 @@ def start_stream_route(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_count_anomaly_flags(
+    stream: DataFrame,
+    baseline: DataFrame,
+    ts_col: str = "ts",
+    window: str = "15 minutes",
+    group_cols: tuple[str, ...] = (),
+    threshold: float = 2.5,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming variant of the X3 time-series detector: watermarked
+    per-window counts joined to a FROZEN per-group baseline (mean/std
+    from history via operators.anomaly.count_baseline) and flagged with
+    the SAME fixed-point z-rule as the batch detector — freeze-then-
+    stream, like the template dictionary.  The baseline is a broadcast
+    join, so the stream stays map-side after its windowed aggregation."""
+    from sherlog_parser_spark.operators.anomaly import flag_counts_against_baseline
+
+    counts = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), *group_cols, "n")
+    )
+    return flag_counts_against_baseline(counts, baseline, group_cols, threshold)

@@ -184,3 +184,68 @@ def test_streaming_route_crash_replay_no_duplicates(spark, stream_setup, tmp_pat
     got = {(r["conv_id"], r["turn_idx"]) for r in sink.select("conv_id", "turn_idx").collect()}
     expected = {(r["conv_id"], r["turn_idx"]) for r in batch.select("conv_id", "turn_idx").collect()}
     assert got == expected
+
+
+def test_streaming_count_anomalies_match_batch(spark, tmp_path):
+    """Freeze-then-stream X3 time-series detector: flags produced by the
+    streaming query (availableNow) == the batch z-rule on the same data
+    against the same frozen baseline."""
+    from sherlog_parser_spark.operators.anomaly import (
+        count_baseline,
+        flag_counts_against_baseline,
+    )
+    from sherlog_parser_spark.streaming.pipeline import streaming_count_anomaly_flags
+
+    # history: stable per-group rates; live: one planted spike in group b
+    hist_rows, live_rows = [], []
+    for w in range(10):
+        for g, base in (("a", 40), ("b", 8)):
+            hist_rows.extend((g, w * 900 + i % 900) for i in range(base + w % 2))
+    for w in (10, 11):
+        for g, base in (("a", 40), ("b", 8)):
+            n = 120 if (w == 11 and g == "b") else base
+            live_rows.extend((g, w * 900 + i % 900) for i in range(n))
+
+    hist = spark.createDataFrame(hist_rows, "grp STRING, sec LONG").select(
+        "grp", F.col("sec").cast("timestamp").alias("ts")
+    )
+    live = spark.createDataFrame(live_rows, "grp STRING, sec LONG").select(
+        "grp", F.col("sec").cast("timestamp").alias("ts")
+    )
+    baseline = count_baseline(hist, window="15 minutes", group_cols=("grp",)).cache()
+
+    src = str(tmp_path / "live_src")
+    live.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("grp string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    flags = streaming_count_anomaly_flags(stream, baseline, group_cols=("grp",))
+    # complete mode: append would hold back windows the watermark hasn't
+    # passed, and availableNow ends before it ever does (same rationale as
+    # test_streaming_counts_match_batch)
+    q = (
+        flags.writeStream.format("memory")
+        .queryName("count_flags")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    got = {
+        (r["grp"], r["window_start"].isoformat(), r["is_anomaly"])
+        for r in spark.sql("SELECT * FROM count_flags").collect()
+    }
+    batch_counts = live.groupBy(F.window("ts", "15 minutes").alias("w"), "grp").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.col("w.start").alias("window_start"), "grp", "n")
+    expected = {
+        (r["grp"], r["window_start"].isoformat(), r["is_anomaly"])
+        for r in flag_counts_against_baseline(batch_counts, baseline, ("grp",)).collect()
+    }
+    assert got == expected
+    assert ("b", "1970-01-01T02:45:00", True) in got  # the planted spike
+    assert sum(1 for _, _, a in got if a) == 1
