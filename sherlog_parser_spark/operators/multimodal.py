@@ -3,17 +3,24 @@
 Media travel as opaque ``binary`` columns plus typed metadata structs;
 all heavy per-item work (decode, resize, frame-sample, feature
 extraction) runs in Arrow-batched ``mapInPandas`` so executors stream
-record batches without per-row Python overhead.  The actual codec calls
-are STUBBED (the container ships no PIL/ffmpeg): ``decode_stub``
-raises ``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake "decode" (md5-derived dimensions/features) keeps the
-Spark-side plumbing — schema, batch iteration, partitioning — fully
-real and testable.
+record batches without per-row Python overhead.
+
+Codec support (r2): REAL, dependency-free decoders for three container
+formats — WAV/PCM (stdlib ``wave`` + struct), binary PPM (P6), and
+24-bit uncompressed BMP — dispatched by magic bytes in
+``decode_media``.  Formats that require external codecs (JPEG, PNG,
+H.264, ...) remain an explicit ``NotImplementedError`` boundary
+(the container ships no PIL/ffmpeg); ``decode_stub(fake=True)`` is the
+deterministic test double for exercising the plumbing with arbitrary
+payloads.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -51,6 +58,58 @@ FEATURES_SCHEMA = StructType(
 )
 
 
+def make_wav(seed: int = 0, rate: int = 8000, nframes: int = 800, nch: int = 1) -> bytes:
+    """Deterministic 16-bit PCM WAV (triangle-ish wave) — a REAL file any
+    player can open, built with the stdlib."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        samples = []
+        for i in range(nframes * nch):
+            v = ((i * (37 + seed)) % 2048) - 1024
+            samples.append(v * 16)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def make_ppm(seed: int = 0, width: int = 8, height: int = 6) -> bytes:
+    raster = bytes(
+        (i * (7 + seed) + c * 31) % 256 for i in range(width * height) for c in range(3)
+    )
+    return b"P6\n# synthetic\n%d %d\n255\n" % (width, height) + raster
+
+
+def make_bmp(seed: int = 0, width: int = 5, height: int = 4) -> bytes:
+    row_stride = (width * 3 + 3) & ~3
+    img_size = row_stride * height
+    header = b"BM" + struct.pack("<IHHI", 54 + img_size, 0, 0, 54)
+    header += struct.pack("<IiihHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    body = bytearray()
+    for row in range(height):
+        for c in range(width):
+            i = row * width + c
+            body += bytes(((i * (11 + seed)) % 256, (i * 13) % 256, (i * 17) % 256))
+        body += b"\x00" * (row_stride - width * 3)
+    return header + bytes(body)
+
+
+def synthetic_real_media(spark, n: int = 12, seed: int = 42) -> DataFrame:
+    """Media table whose payloads are REAL decodable containers
+    (WAV / PPM / BMP round-robin)."""
+    rows = []
+    for i in range(n):
+        if i % 3 == 0:
+            payload, kind, mime = make_wav(seed + i), "audio", "audio/wav"
+        elif i % 3 == 1:
+            payload, kind, mime = make_ppm(seed + i), "image", "image/x-portable-pixmap"
+        else:
+            payload, kind, mime = make_bmp(seed + i), "image", "image/bmp"
+        rows.append((i, kind, bytearray(payload), mime, len(payload)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake media table: payload = md5-chained bytes."""
     rows = []
@@ -77,12 +136,113 @@ def decode_stub(payload: bytes, kind: str, fake: bool = False) -> dict:
     return {"width": width, "height": height, "feature": feature}
 
 
+FEATURE_BINS = 16
+
+
+def _luma_histogram(pixels: bytes, n_px: int) -> list[float]:
+    """16-bin normalized luminance histogram over packed RGB triples."""
+    hist = [0] * FEATURE_BINS
+    for i in range(n_px):
+        r, g, b = pixels[3 * i], pixels[3 * i + 1], pixels[3 * i + 2]
+        luma = (299 * r + 587 * g + 114 * b) // 1000
+        hist[min(luma * FEATURE_BINS // 256, FEATURE_BINS - 1)] += 1
+    return [h / max(n_px, 1) for h in hist]
+
+
+def decode_wav(payload: bytes) -> dict:
+    """PCM WAV via the stdlib: width = sample rate, height = channels,
+    feature = 16-bin mean-|amplitude| envelope (normalized to [0,1])."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        nch, sw, rate, nframes = w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes()
+        raw = w.readframes(nframes)
+    if sw != 2:
+        raise NotImplementedError(f"only 16-bit PCM supported, got sampwidth={sw}")
+    samples = struct.unpack(f"<{len(raw) // 2}h", raw)
+    n = len(samples)
+    env = []
+    for b in range(FEATURE_BINS):
+        lo, hi = b * n // FEATURE_BINS, (b + 1) * n // FEATURE_BINS
+        seg = samples[lo:hi]
+        env.append((sum(abs(s) for s in seg) / len(seg) / 32768.0) if seg else 0.0)
+    return {"width": rate, "height": nch, "feature": env}
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Binary PPM (P6, maxval 255): header parse + luminance histogram."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header: P6 <ws> width <ws> height <ws> maxval <single ws> raster
+    parts, i, tok = [], 2, b""
+    while len(parts) < 3:
+        c = payload[i : i + 1]
+        i += 1
+        if c.isspace():
+            if tok:
+                parts.append(int(tok))
+                tok = b""
+        elif c == b"#":  # comment to end of line
+            while payload[i : i + 1] not in (b"\n", b""):
+                i += 1
+        else:
+            tok += c
+    width, height, maxval = parts
+    if maxval != 255:
+        raise NotImplementedError("only maxval=255 PPM supported")
+    raster = payload[i : i + 3 * width * height]
+    return {"width": width, "height": height, "feature": _luma_histogram(raster, width * height)}
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """24-bit uncompressed BITMAPINFOHEADER BMP: struct header parse +
+    luminance histogram (rows are bottom-up and 4-byte padded)."""
+    if not payload.startswith(b"BM"):
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, width, height, _planes, bpp, compression = struct.unpack_from(
+        "<IiihHI", payload, 14
+    )
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only 24bpp uncompressed BMP supported (bpp={bpp})")
+    row_stride = (width * 3 + 3) & ~3
+    px = bytearray()
+    for row in range(abs(height)):
+        src = data_off + row * row_stride
+        line = payload[src : src + width * 3]
+        # BMP stores BGR; swap to RGB for the shared histogram helper
+        for c in range(width):
+            px += bytes((line[3 * c + 2], line[3 * c + 1], line[3 * c]))
+    return {"width": width, "height": abs(height), "feature": _luma_histogram(bytes(px), width * abs(height))}
+
+
+def decode_media(payload: bytes, kind: str | None = None) -> dict:
+    """Magic-byte dispatch to a real decoder; unsupported containers are
+    an explicit boundary (JPEG/PNG/H.264 need PIL/ffmpeg, not shipped)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        f"no built-in decoder for this container (magic={payload[:4]!r}); "
+        "JPEG/PNG/video need PIL/ffmpeg — plug them in at decode_media"
+    )
+
+
 def extract_features(media: DataFrame, fake: bool = True, batch_size_hint: int | None = None) -> DataFrame:
     """mapInPandas feature extraction: one Arrow batch in, one out."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [decode_stub(bytes(p), k, fake=fake) for p, k in zip(pdf["payload"], pdf["kind"])]
+            if fake:
+                decoded = [
+                    decode_stub(bytes(p), k, fake=True)
+                    for p, k in zip(pdf["payload"], pdf["kind"])
+                ]
+            else:
+                decoded = [
+                    decode_media(bytes(p), k) for p, k in zip(pdf["payload"], pdf["kind"])
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
