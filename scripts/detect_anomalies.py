@@ -62,7 +62,11 @@ def main() -> int:
                 F.col(args.ts_col)
                 >= F.lit(end) - F.expr(f"INTERVAL {int(args.hours * 3600)} SECONDS")
             )
-        df = df.limit(args.limit)
+        # most-recent rows first, matching the reference's time-ordered
+        # 100k lookback cap (src/core/anomaly_incidents.py): a bare
+        # limit() takes an ARBITRARY subset, so reruns could scan
+        # different rows and flag different incidents
+        df = df.orderBy(F.desc(args.ts_col)).limit(args.limit)
         window_col = None
         if args.window:
             window_col = "_win"

@@ -119,10 +119,20 @@ def isolation_forest_fit(
 
     Trees are nested tuples: (feature, split, left, right) | ("leaf", n).
     """
+    if len(X) == 0:
+        raise ValueError(
+            "isolation_forest_fit: empty train set — the train split produced "
+            "0 rows (check train_frac and the input size)"
+        )
     if len(X) > MAX_TRAIN_ROWS:
         raise ValueError(f"train set of {len(X)} rows exceeds guard {MAX_TRAIN_ROWS}")
     rng = np.random.default_rng(seed)
     X = np.asarray(X, dtype=np.float64)
+    if X.ndim != 2:
+        raise ValueError(
+            f"isolation_forest_fit: expected an (n, d) matrix, got shape {X.shape} "
+            "— the vec column is ragged or 1-D"
+        )
     n, d = X.shape
     sub = min(max_samples, n)
     max_depth = int(np.ceil(np.log2(max(sub, 2))))
@@ -259,16 +269,30 @@ def flag_counts_against_baseline(
     threshold: float = 2.5,
 ) -> DataFrame:
     """Join per-window counts to a frozen baseline and apply the
-    fixed-point z-rule (shared by the batch and streaming detectors)."""
+    fixed-point z-rule (shared by the batch and streaming detectors).
+
+    LEFT join: a group with no baseline (first seen in the test/stream
+    period — the classic burst-of-a-new-template anomaly) must be scored,
+    not dropped (the reference scores every test row).  Such rows get
+    ``is_novel_group = true`` and are flagged anomalous."""
     gb = list(group_cols)
-    joined = counts.join(F.broadcast(baseline), gb) if gb else counts.crossJoin(F.broadcast(baseline))
+    joined = (
+        counts.join(F.broadcast(baseline), gb, "left")
+        if gb
+        else counts.crossJoin(F.broadcast(baseline))
+    )
     q = lambda c: F.floor(c * 1e6 + F.lit(0.5))  # noqa: E731
-    return joined.withColumn(
-        "is_anomaly",
+    is_novel = F.col("_mean").isNull()
+    z_hit = (
         F.col("_std").isNotNull()
         & (F.col("_std") > 0)
-        & (q(F.abs(F.col("n") - F.col("_mean"))) > q(F.lit(threshold) * F.col("_std"))),
-    ).drop("_mean", "_std")
+        & (q(F.abs(F.col("n") - F.col("_mean"))) > q(F.lit(threshold) * F.col("_std")))
+    )
+    return (
+        joined.withColumn("is_novel_group", is_novel)
+        .withColumn("is_anomaly", is_novel | z_hit)
+        .drop("_mean", "_std")
+    )
 
 
 def timeseries_count_anomalies(
@@ -309,7 +333,7 @@ def timeseries_count_anomalies(
     # shared z-rule (flag_counts_against_baseline) — the streaming
     # detector uses the same function, so semantics can never fork
     return flag_counts_against_baseline(test, stats, group_cols, threshold).select(
-        "window_start", *gb, "n", "is_anomaly"
+        "window_start", *gb, "n", "is_anomaly", "is_novel_group"
     )
 
 

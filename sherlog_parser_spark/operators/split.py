@@ -55,6 +55,15 @@ def _ranked_with_total(
         .withColumn(rank_col, F.row_number().over(w) + F.col("_off"))
         .drop("_pid", "_off")
     )
+    # Materialize the ranked result, then release the intermediate cache:
+    # without this, repeated ordered_split/global_rank calls in one
+    # session accumulate persisted partitions until the session dies.
+    # localCheckpoint blocks ARE the materialized result (cleaned by the
+    # ContextCleaner once the frame is unreferenced), and cutting lineage
+    # here also freezes the partition boundaries the offsets were
+    # computed against.
+    ranked = ranked.localCheckpoint(eager=True)
+    part.unpersist()
     return ranked, acc
 
 

@@ -102,6 +102,66 @@ def start_stream_route(
     return writer.start()
 
 
+def compact_stream_output(
+    spark,
+    stream_out_dir: str,
+    compacted_dir: str,
+    up_to_batch_id: int,
+) -> list[int]:
+    """Fold finished ``batch_id=N`` partitions of the streaming route sink
+    into the BATCH route layout (template_id/tool/conv_bucket — no
+    batch_id column).
+
+    Why: batch_id as the leading partition column makes replay idempotent
+    (each micro-batch overwrites exactly its own directory), but a
+    long-running stream then grows one top-level directory per
+    micro-batch forever — listing/metadata cost grows unboundedly, and
+    readers of the streaming sink see an extra batch_id column the batch
+    sink doesn't have.  Periodic compaction bounds both: old batches
+    migrate into the batch layout, the live tail keeps replay safety.
+
+    ``up_to_batch_id`` MUST be below the last committed batch (a batch
+    that could still be replayed after a crash must keep its own
+    directory, or the replay would duplicate rows the compactor already
+    moved).  Pass e.g. ``max(committed) - 1`` from the checkpoint.
+
+    Idempotent per batch via marker files under
+    ``<compacted_dir>/_compacted/``: a crash between append and delete
+    re-skips the append on rerun and just finishes the delete.  Returns
+    the batch ids compacted this call.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    out_path = jvm.org.apache.hadoop.fs.Path(stream_out_dir)
+    fs = out_path.getFileSystem(conf)
+    if not fs.exists(out_path):
+        return []
+    marker_dir = jvm.org.apache.hadoop.fs.Path(compacted_dir, "_compacted")
+    fs.mkdirs(marker_dir)
+
+    done: list[int] = []
+    for status in fs.listStatus(out_path):
+        name = status.getPath().getName()
+        if not name.startswith("batch_id="):
+            continue
+        bid = int(name.split("=", 1)[1])
+        if bid > up_to_batch_id:
+            continue
+        marker = jvm.org.apache.hadoop.fs.Path(marker_dir, name)
+        if not fs.exists(marker):
+            (
+                spark.read.parquet(str(status.getPath()))
+                .write.mode("append")
+                .option("parquet.enable.dictionary", "false")
+                .partitionBy("template_id", "tool", "conv_bucket")
+                .parquet(compacted_dir)
+            )
+            fs.create(marker, True).close()
+        fs.delete(status.getPath(), True)
+        done.append(bid)
+    return sorted(done)
+
+
 def streaming_count_anomaly_flags(
     stream: DataFrame,
     baseline: DataFrame,

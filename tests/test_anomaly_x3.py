@@ -98,6 +98,26 @@ def test_timeseries_grouped(spark):
     assert flagged == {("b", "1970-01-01T02:15:00")}
 
 
+def test_timeseries_novel_group_is_scored_not_dropped(spark):
+    """r3 ADVICE (medium): a group first seen AFTER the train cut — the
+    classic brand-new-template burst — must appear in the output flagged
+    anomalous + novel, not silently vanish in an inner join."""
+    rows = []
+    for w in range(10):
+        rows.extend(("a", w * 900 + i % 900) for i in range(50 + w % 2))
+        if w >= 8:  # group 'z' bursts only in the test windows
+            rows.extend(("z", w * 900 + i % 900) for i in range(120))
+    df = spark.createDataFrame(rows, "grp STRING, sec LONG").select(
+        "grp", F.col("sec").cast("timestamp").alias("ts")
+    )
+    out = timeseries_count_anomalies(df, group_cols=("grp",), window="15 minutes", train_frac=0.7)
+    z = {r["window_start"].isoformat(): (r["is_anomaly"], r["is_novel_group"]) for r in out.collect() if r["grp"] == "z"}
+    assert len(z) == 2  # both test windows where z appears
+    assert all(v == (True, True) for v in z.values()), z
+    a = [r for r in out.collect() if r["grp"] == "a"]
+    assert a and all(r["is_novel_group"] is False for r in a)
+
+
 @pytest.fixture(scope="module")
 def incident_frame(spark):
     """3 dense clusters + 2 far noise points + 1 numeric outlier inside a

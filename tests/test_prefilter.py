@@ -45,6 +45,56 @@ def test_stratified_sample_deterministic(log_frame):
     assert a == b
 
 
+def _windowed_x1_reference(df, level_col="level", min_per_level=10, seed=42, order_cols=("ts",)):
+    """The r2 window-based X1 implementation, kept here as the exactness
+    oracle for the hash-threshold rewrite (same hash, same ordering)."""
+    from pyspark.sql import Window
+
+    from sherlog_parser_spark.operators.prefilter import (
+        DEFAULT_RATIO,
+        DEFAULT_RATIOS,
+        PRIORITY_LEVELS,
+    )
+
+    ratio_expr = F.lit(DEFAULT_RATIO)
+    for lvl, r in DEFAULT_RATIOS.items():
+        ratio_expr = F.when(F.col(level_col) == lvl, F.lit(r)).otherwise(ratio_expr)
+    counts = df.groupBy(level_col).agg(F.count("*").alias("_n_level"))
+    w = Window.partitionBy(level_col).orderBy(
+        F.xxhash64(F.lit(seed), *[F.col(c) for c in order_cols]), *order_cols
+    )
+    ranked = (
+        df.join(F.broadcast(counts), level_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .withColumn(
+            "_target",
+            F.greatest(F.lit(min_per_level), F.ceil(F.col("_n_level") * ratio_expr)),
+        )
+    )
+    return ranked.filter(
+        F.col(level_col).isin(*PRIORITY_LEVELS) | (F.col("_rk") <= F.col("_target"))
+    ).drop("_rk", "_target", "_n_level")
+
+
+def test_stratified_sample_identical_to_windowed_reference(log_frame):
+    """r3 rewrite gate: hash-threshold selection keeps EXACTLY the rows
+    the old per-level window kept (order keys are unique in the fixture,
+    so membership — not just counts — must match)."""
+    got = sorted(r["id"] for r in stratified_level_sample(log_frame).select("id").collect())
+    want = sorted(r["id"] for r in _windowed_x1_reference(log_frame).select("id").collect())
+    assert got == want
+
+
+def test_stratified_sample_partitioning_invariant(log_frame):
+    a = sorted(
+        r["id"] for r in stratified_level_sample(log_frame.repartition(1)).select("id").collect()
+    )
+    b = sorted(
+        r["id"] for r in stratified_level_sample(log_frame.repartition(13)).select("id").collect()
+    )
+    assert a == b
+
+
 def test_cap_duplicates(log_frame):
     out = cap_duplicates(log_frame, text_col="text", max_duplicates=5, order_cols=("ts",))
     dup = out.filter(F.col("text") == "dup message").orderBy("ts").collect()
@@ -57,3 +107,38 @@ def test_cap_duplicates(log_frame):
     assert out.filter(F.col("text") != "dup message").count() == log_frame.filter(
         F.col("text") != "dup message"
     ).count()
+
+
+def test_cap_duplicates_partitioning_invariant(log_frame):
+    a = sorted(
+        r["id"]
+        for r in cap_duplicates(log_frame.repartition(1), max_duplicates=5).select("id").collect()
+    )
+    b = sorted(
+        r["id"]
+        for r in cap_duplicates(log_frame.repartition(13), max_duplicates=5).select("id").collect()
+    )
+    assert a == b
+
+
+def test_cap_duplicates_content_equal_rows_stay_count_exact(spark):
+    """Fully identical rows (same text AND same order key) must still cap
+    to exactly max_duplicates — the positional first/last removal can't
+    over-delete content-equal middles."""
+    import datetime
+
+    t = datetime.datetime(2026, 1, 1)
+    rows = [(1, "same", t)] * 9 + [(2, "other", t)]
+    df = spark.createDataFrame(rows, "id long, text string, ts timestamp")
+    out = cap_duplicates(df, text_col="text", max_duplicates=4, order_cols=("ts",))
+    counts = {r["text"]: r["n"] for r in out.groupBy("text").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"same": 4, "other": 1}
+
+
+def test_cap_duplicates_max2_keeps_first_and_last(log_frame):
+    out = cap_duplicates(log_frame, text_col="text", max_duplicates=2, order_cols=("ts",))
+    dup = out.filter(F.col("text") == "dup message").orderBy("ts").collect()
+    all_dup = log_frame.filter(F.col("text") == "dup message").orderBy("ts").collect()
+    assert len(dup) == 2
+    assert dup[0]["id"] == all_dup[0]["id"]
+    assert dup[-1]["id"] == all_dup[-1]["id"]

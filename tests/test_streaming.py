@@ -75,6 +75,45 @@ def test_streaming_route_matches_batch(spark, stream_setup):
     assert got == expected
 
 
+def test_compact_stream_output_folds_batches_into_batch_layout(spark, stream_setup):
+    """r3 ADVICE: batch_id-leading partitions grow one top-level dir per
+    micro-batch forever.  Compaction must fold finished batches into the
+    batch route layout (no batch_id column), keep the live tail, lose no
+    rows, and be idempotent on rerun."""
+    from sherlog_parser_spark.streaming.pipeline import compact_stream_output
+
+    src, tdict, root = stream_setup
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=2)
+    out = f"{root}/routed_compact"
+    q = start_stream_route(stream, tdict.df, out, f"{root}/ckpt_compact")
+    q.awaitTermination(180)
+
+    batch_ids = sorted(
+        int(r["batch_id"]) for r in spark.read.parquet(out).select("batch_id").distinct().collect()
+    )
+    assert len(batch_ids) >= 2, "fixture must produce multiple micro-batches"
+    keep_tail = batch_ids[-1]
+    compacted_dir = f"{root}/routed_compacted"
+
+    done = compact_stream_output(spark, out, compacted_dir, up_to_batch_id=keep_tail - 1)
+    assert done == batch_ids[:-1]
+    # rerun: nothing left to do (markers + deleted dirs)
+    assert compact_stream_output(spark, out, compacted_dir, up_to_batch_id=keep_tail - 1) == []
+
+    compacted = spark.read.parquet(compacted_dir)
+    assert "batch_id" not in compacted.columns  # batch route layout
+    tail = spark.read.parquet(out)
+    assert sorted(int(r["batch_id"]) for r in tail.select("batch_id").distinct().collect()) == [keep_tail]
+
+    key = ["conv_id", "turn_idx", "template_id", "tool"]
+    got = {tuple(r) for r in compacted.select(*key).collect()} | {
+        tuple(r) for r in tail.select(*key).collect()
+    }
+    batch = enrich_stage(parse_stage(spark.read.parquet(src)), tdict.df, with_params=False)
+    expected = {tuple(r) for r in batch.select(*key).collect()}
+    assert got == expected
+
+
 def test_stateful_sessionization(spark, stream_setup):
     """applyInPandasWithState conversation sessions: running summaries must
     reach the batch per-conversation totals."""
