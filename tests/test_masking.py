@@ -136,3 +136,76 @@ def test_parse_stage_null_text(spark):
     rows = parse_stage(df).select("masked", "sig").collect()
     assert all(r["masked"] == "" for r in rows)
     assert rows[0]["sig"] == rows[1]["sig"] is not None
+
+
+EXT_CASES = [
+    # (text, extended-mode masked template)
+    ("Accepted socket connection from /10.10.34.11:50010",
+     "Accepted socket connection from /<LOI>:<OBA>"),
+    ("[client 10.117.21.44] Directory index forbidden",
+     "[client <LOI>] Directory index forbidden"),
+    ("session opened for user cyrus by (uid=0)",
+     "session opened for user cyrus by (uid=<OBA>)"),
+    ("logname= uid=0 euid=0 tty=NODEVssh ruser= rhost=h-1.example.com",
+     "logname= uid=<OBA> euid=<OBA> tty=NODEVssh ruser= rhost=<OBA>"),
+    ("Expiring session 0xed6336898 , timeout of 12000 ms exceeded",
+     "Expiring session 0x<OID> , timeout of <OBA> ms exceeded"),
+    ("Deleting block blk_-123 file /mnt/dfs/current/blk_-123",
+     "Deleting block blk_<OID> file /mnt/dfs/current/blk_<OID>"),
+    ("at Fri Jun 17 23:01:58 2005", "at Fri Jun <OBA> <TDA> <OBA>"),
+    # default-rule behavior is untouched where no extended rule fires
+    ("plain static sentence only", "plain static sentence only"),
+    ("Request 0x1f2a completed in 532 ms", "Request 0x<OID> completed in <OBA> ms"),
+]
+
+
+def test_extended_mask_python_reference():
+    for text, expected in EXT_CASES:
+        assert mask_template_py(text, extended=True) == expected, text
+
+
+def test_extended_mask_expr_matches_python(spark):
+    df = spark.createDataFrame([(t,) for t, _ in EXT_CASES], "text string")
+    got = [r[0] for r in df.select(mask_template_expr("text", extended=True)).collect()]
+    assert got == [e for _, e in EXT_CASES]
+
+
+def test_extended_mask_udf_matches_expr(spark):
+    df = spark.createDataFrame([(t,) for t, _ in EXT_CASES], "text string")
+    udf = make_masked_template_udf(extended=True)
+    rows = df.select(
+        mask_template_expr("text", extended=True).alias("a"), udf(F.col("text")).alias("b")
+    ).collect()
+    for r in rows:
+        assert r["a"] == r["b"]
+
+
+def test_default_mode_is_unchanged_by_extended_rules():
+    """Parity guard: extended=False must be byte-identical to the
+    pre-extension behavior on every pinned case."""
+    for text, expected in CASES:
+        assert mask_template_py(text, extended=False) == expected, text
+
+
+def test_extended_mode_lifts_parsing_accuracy(spark):
+    """The point of the gate: on the loghub-shaped fixture the extended
+    rules must lift PA well above the default heuristic's 0.67 while the
+    default stays reference-parity."""
+    from sherlog_parser_spark.data.loghub_shaped import generate_loghub_shaped
+    from sherlog_parser_spark.eval import metrics as M
+    from sherlog_parser_spark.functions.masking import normalize_template_expr
+
+    golden = generate_loghub_shaped(spark, n_rows=600)
+    scores = {}
+    for mode, ext in (("default", False), ("extended", True)):
+        res = golden.select(
+            F.col("LineId").alias("log_id"),
+            F.col("EventTemplate").alias("truth_template"),
+            normalize_template_expr(mask_template_expr("Content", extended=ext)).alias(
+                "pred_template"
+            ),
+        )
+        scores[mode] = M.evaluate(res)
+    assert scores["default"]["parsing_accuracy"] < 0.8  # honest heuristic bound
+    assert scores["extended"]["parsing_accuracy"] >= 0.95
+    assert scores["extended"]["grouping_accuracy"] >= 0.99

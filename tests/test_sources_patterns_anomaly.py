@@ -122,3 +122,37 @@ def test_windowed_embedding_anomalies(spark):
     out = windowed_embedding_anomalies(df, eps=0.2, min_samples=4, small_cluster_min=3)
     flagged = {r["vec_id"] for r in out.filter(F.col("is_embedding_anomaly")).collect()}
     assert flagged == {99}
+
+
+def test_pattern_parse_ranked_cosine_beats_priority(spark):
+    """P16 ranking (reference parser.py:100-111): when two patterns both
+    match, the one whose cluster center is cosine-closest to the ROW's
+    embedding must win — even though plain priority order picks the other."""
+    from sherlog_parser_spark.operators.pattern_parse import pattern_parse_ranked
+
+    # axis-aligned centers; both patterns match every "User ..." text
+    patterns = [
+        ClusterPattern(0, r"User (?P<user>\S+) logged in.*", center=[1.0, 0.0, 0.0]),
+        ClusterPattern(1, r"User (?P<u2>\S+) .*", center=[0.0, 1.0, 0.0]),
+        ClusterPattern(2, r"Connection lost to (?P<host>\S+)", center=[0.0, 0.0, 1.0]),
+    ]
+    rows = [
+        ("User alice logged in from 1.2.3.4", [0.9, 0.1, 0.0]),   # nearest c0
+        ("User bob logged in from 5.6.7.8", [0.1, 0.9, 0.0]),     # nearest c1
+        ("Connection lost to db01", [0.0, 0.1, 0.9]),             # only p2 matches
+        ("no pattern matches this", [1.0, 0.0, 0.0]),
+        ("User carol logged in from 9.9.9.9", None),              # null vec -> priority
+    ]
+    df = spark.createDataFrame(rows, "text string, embedding array<double>")
+    got = {r["text"]: r for r in pattern_parse_ranked(df, patterns).collect()}
+
+    assert got["User alice logged in from 1.2.3.4"]["cluster_id"] == 0
+    assert got["User alice logged in from 1.2.3.4"]["parsed_fields"]["user"] == "alice"
+    # ranking flips the winner for bob (priority order would pick 0)
+    assert got["User bob logged in from 5.6.7.8"]["cluster_id"] == 1
+    assert got["User bob logged in from 5.6.7.8"]["parsed_fields"]["u2"] == "bob"
+    assert got["Connection lost to db01"]["cluster_id"] == 2
+    assert got["no pattern matches this"]["cluster_id"] is None
+    # null embedding falls back to priority-first semantics
+    assert got["User carol logged in from 9.9.9.9"]["cluster_id"] == 0
+    assert got["User carol logged in from 9.9.9.9"]["parsed_fields"]["user"] == "carol"
