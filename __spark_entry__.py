@@ -309,6 +309,28 @@ def q_component_extract(spark, sf_dir):
     )
 
 
+def q_pattern_parse(spark, sf_dir):
+    """P16 regex-pattern parse, oracle-compared (r3 upgrade from
+    pytest-only): first matching pattern in priority order wins; named
+    groups surface as columns.  The 'evt error' pattern precedes the
+    general pattern, so error lines get cluster 20 — priority order is
+    load-bearing in the comparison."""
+    from sherlog_parser_spark.operators.pattern_parse import ClusterPattern, pattern_parse
+
+    patterns = [
+        ClusterPattern(20, r"evt error .*"),
+        ClusterPattern(10, r"evt (?P<etype>\S+) user (?P<user>\d+) from (?P<ip>\S+) req (?P<req>0x[0-9a-f]+) .*"),
+    ]
+    logs = _logs(spark, sf_dir).filter(F.col("event_id") < 2000)
+    out = pattern_parse(logs, patterns, "text")
+    return out.select(
+        "event_id",
+        "cluster_id",
+        F.element_at("parsed_fields", "user").alias("user"),
+        F.element_at("parsed_fields", "ip").alias("ip"),
+    ).orderBy("event_id")
+
+
 # ---------------------------------------------------------------------------
 # dedup / similarity / text analysis (training-data ops)
 # ---------------------------------------------------------------------------
@@ -581,6 +603,23 @@ def _oracle_sqls() -> dict[str, str]:
             f"SELECT ({_TOKS})[2] AS component, count(*) AS n FROM documents "
             "GROUP BY 1 ORDER BY n DESC, component LIMIT 10"
         ),
+        "pattern_parse": (
+            # mirrors q_pattern_parse: priority-ordered first-match over
+            # the derived log view; RE2 and Java both honor the ^(?:...)
+            # anchor and 1-based capture groups
+            f"WITH l AS (SELECT event_id, text FROM {DUCK_LOGS_VIEW} q WHERE event_id < 2000) "
+            "SELECT event_id, "
+            "CASE WHEN regexp_matches(text, '^(?:evt error .*)') THEN 20 "
+            "WHEN regexp_matches(text, '^(?:evt (\\S+) user (\\d+) from (\\S+) req (0x[0-9a-f]+) .*)') THEN 10 "
+            "END AS cluster_id, "
+            "CASE WHEN regexp_matches(text, '^(?:evt error .*)') THEN NULL "
+            "WHEN regexp_matches(text, '^(?:evt (\\S+) user (\\d+) from (\\S+) req (0x[0-9a-f]+) .*)') "
+            "THEN regexp_extract(text, '^(?:evt (\\S+) user (\\d+) from (\\S+) req (0x[0-9a-f]+) .*)', 2) END AS user, "
+            "CASE WHEN regexp_matches(text, '^(?:evt error .*)') THEN NULL "
+            "WHEN regexp_matches(text, '^(?:evt (\\S+) user (\\d+) from (\\S+) req (0x[0-9a-f]+) .*)') "
+            "THEN regexp_extract(text, '^(?:evt (\\S+) user (\\d+) from (\\S+) req (0x[0-9a-f]+) .*)', 3) END AS ip "
+            "FROM l ORDER BY event_id"
+        ),
         "exact_dedup": (
             "SELECT doc_id FROM documents d JOIN "
             "(SELECT md5(text) AS h, min(doc_id) AS keep FROM documents GROUP BY 1) k "
@@ -744,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "region_rollup": q_region_rollup,
         "component_extract": q_component_extract,
+        "pattern_parse": q_pattern_parse,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_candidates": q_minhash_candidates,

@@ -99,22 +99,51 @@ def _gen_transcripts(path: str, n_convs: int) -> int:
         spark.stop()
 
 
-def bench_pipeline(master_cores: int, data_path: str, pin: bool = True, persist: bool = True) -> float:
+def bench_pipeline(
+    master_cores: int,
+    data_path: str,
+    pin: bool = True,
+    persist: bool = True,
+    warmup_path: str | None = None,
+) -> float:
     """One e2e pipeline run at ``master_cores`` parallelism, in a fresh
     subprocess pinned to exactly that many physical CPUs (taskset) — a
     local[N] JVM otherwise spills GC/shuffle/IO threads onto all cores,
-    inflating the small-N throughput and corrupting the scaling ratio."""
+    inflating the small-N throughput and corrupting the scaling ratio.
+
+    ``warmup_path``: an UNTIMED pilot run of the identical pipeline on a
+    tiny input first, inside the same pinned subprocess (r3, verdict #9).
+    This pays the per-session constants — Catalyst codegen compilation,
+    JIT warmup of the generated code, committer/classloading — before
+    t0, so the timed region measures steady-state throughput.  That is
+    the faithful proxy for the north_rule's 10^12-turn job, where ~10 s
+    of constants amortize to zero but at 600k-conv bench scale they are
+    >10% of the 4-core wall time and bias the N->4N ratio downward.
+    The pilot is the same DAG (parse -> dictionary -> enrich -> route ->
+    aggregate), only smaller, so every codegen'd stage shape is compiled.
+    """
     import subprocess
 
     out = f"/tmp/sherlog_bench_out_{master_cores}"
     shutil.rmtree(out, ignore_errors=True)
+    warm = (
+        (
+            f"dfw = spark.read.parquet({warmup_path!r});"
+            f"run_pipeline(spark, dfw, {out + '_warm'!r}, n_buckets=2, commit_groups=1,"
+            f" resume=False, aggregate_source='enriched', persist_parsed={persist});"
+            f"shutil.rmtree({out + '_warm'!r}, ignore_errors=True);"
+        )
+        if warmup_path
+        else ""
+    )
     code = (
         "import sys, time, shutil;"
         f"sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r});"
         "from sherlog_parser_spark.session import get_spark;"
         "from sherlog_parser_spark.plans.pipeline import run_pipeline;"
         f"spark = get_spark('bench-pipe', master='local[{master_cores}]');"
-        f"df = spark.read.parquet({data_path!r});"
+        + warm
+        + f"df = spark.read.parquet({data_path!r});"
         "t0 = time.time();"
         # persist_parsed=True: one mask pass feeds dictionary + route +
         # aggregates (vs three full regex passes) — faster at LOW core
@@ -143,6 +172,8 @@ def main() -> None:
     data_path = f"/tmp/sherlog_bench_data/transcripts_{BENCH_CONVS}.parquet"
     os.makedirs(os.path.dirname(data_path), exist_ok=True)
     rows = _gen_transcripts(data_path, BENCH_CONVS)
+    warmup_path = "/tmp/sherlog_bench_data/transcripts_warmup_5000.parquet"
+    _gen_transcripts(warmup_path, 5000)
 
     # N -> 4N scaling evidence (north_rule): same job, same input, CPU-pinned
     # subprocesses at local[N_SMALL] vs local[N_BIG].  Alternate levels and
@@ -154,8 +185,8 @@ def main() -> None:
     runs_s, runs_b = [], []
     for _ in range(REPS):
         if not SKIP_SCALING:
-            runs_s.append(bench_pipeline(n_small, data_path))
-        runs_b.append(bench_pipeline(n_big, data_path))
+            runs_s.append(bench_pipeline(n_small, data_path, warmup_path=warmup_path))
+        runs_b.append(bench_pipeline(n_big, data_path, warmup_path=warmup_path))
     tb = min(runs_b)
     timings[f"pipeline_local{n_big}"] = round(tb, 3)
     result[f"turns_per_sec_local{n_big}"] = round(rows / tb, 1)
@@ -182,7 +213,7 @@ def main() -> None:
     # min-of-REPS like the scaling runs: a single run on this shared box
     # can land on a load spike and read 2-3x slow (r2: 116 s vs 38 s for
     # the identical job minutes apart)
-    runs_max = [bench_pipeline(CPUS, data_path, persist=False) for _ in range(REPS)]
+    runs_max = [bench_pipeline(CPUS, data_path, persist=False, warmup_path=warmup_path) for _ in range(REPS)]
     tmax = min(runs_max)
     timings[f"pipeline_local{CPUS}"] = round(tmax, 3)
     result[f"turns_per_sec_local{CPUS}"] = round(rows / tmax, 1)

@@ -128,16 +128,38 @@ def mask_template_expr(text: Column | str, extended: bool = False) -> Column:
     (tests/test_masking.py).
     """
     c = F.col(text) if isinstance(text, str) else text
-    out = F.concat(F.lit(" "), F.regexp_replace(F.trim(c), r"\s+", " "), F.lit(" "))
+    norm = F.regexp_replace(F.trim(c), r"\s+", " ")
+    out = F.concat(F.lit(" "), norm, F.lit(" "))
+
+    # Pass-skipping guards (r3, scaling item): every rule — default and
+    # extended — requires at least one ASCII digit to match ('0x' starts
+    # with the digit 0), the IP rule requires a literal '.', the hex rule
+    # a literal '0x'.  No replacement ever INTRODUCES a digit, dot, or
+    # '0x' adjacency (mask strings are '<TYPE>' / 'key=<TYPE>' /
+    # '0x<OID>'-only-when-0x-existed), so guards computed once on the
+    # normalized ORIGINAL are equivalence-preserving: a skipped pass
+    # could never have matched.  cheap contains/char-class scans replace
+    # full regex passes for the ~60% of turns without dots and ~74%
+    # without 0x; fully digitless turns skip everything.  Byte-equality
+    # with the unguarded chain is pinned by the expr==py fuzz tests.
+    has_digit = norm.rlike("[0-9]")
+    guards = {
+        r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}": norm.contains("."),
+        r"0x[0-9a-fA-F]+": norm.contains("0x"),
+    }
+
+    chain = out
     if extended:
         # quality mode: substring substitutions first (see
         # EXTENDED_MASK_RULES); tokens they touch contain '<'/'>' or '='
         # afterwards, so the full-token default rules below skip them
         for pattern, repl in EXTENDED_MASK_RULES:
-            out = F.regexp_replace(out, pattern, repl)
+            chain = F.regexp_replace(chain, pattern, repl)
     for pattern, mask in MASK_RULES:
-        out = F.regexp_replace(out, f"(\\s)(?:{pattern})(?=\\s)", "$1" + mask)
-    return F.trim(out)
+        step = F.regexp_replace(chain, f"(\\s)(?:{pattern})(?=\\s)", "$1" + mask)
+        g = guards.get(pattern)
+        chain = F.when(g, step).otherwise(chain) if g is not None else step
+    return F.trim(F.when(has_digit, chain).otherwise(out))
 
 
 def mask_template_hof_expr(text: Column | str) -> Column:
