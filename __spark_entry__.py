@@ -37,6 +37,7 @@ from sherlog_parser_spark.functions.masking import (
     mask_template_expr,
     normalize_template_expr,
 )
+from sherlog_parser_spark.functions import pii as PII
 from sherlog_parser_spark.operators import dedup as DD
 from sherlog_parser_spark.operators import numeric as NUM
 from sherlog_parser_spark.operators import similarity as SIM
@@ -430,12 +431,109 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals over documents.  The raw
+    docs are single-line, so line structure is derived deterministically
+    (replace ' merge ' -> newline, identically in the oracle); shingle
+    stats run on the raw token stream.  Fractions are emitted as
+    floor(x*1e4 + 0.5) fixed-point ints per the house float rule."""
+    docs = _read(spark, sf_dir, "documents")
+    # bind lines/shingles as attributes BEFORE the HOF-heavy stats: an
+    # interpreted HOF lambda referencing an outer expression tree
+    # re-evaluates it per element (measured O(n^2) on long docs)
+    bound = docs.select(
+        "doc_id",
+        "text",
+        TS.lines_expr(F.replace(F.col("text"), F.lit(" merge "), F.lit("\n"))).alias("lines"),
+        TS.word_shingles_expr("text", 2).alias("sh2"),
+        TS.word_shingles_expr("text", 5).alias("sh5"),
+    )
+
+    def x1e4(c):
+        return F.floor(c * 10000 + F.lit(0.5)).cast("long")
+
+    return bound.select(
+        "doc_id",
+        F.size("lines").alias("n_lines"),
+        x1e4(TS.dup_frac_expr("lines")).alias("dup_line_frac_x1e4"),
+        x1e4(TS.dup_char_frac_expr("lines")).alias("dup_line_char_frac_x1e4"),
+        x1e4(TS.top_ngram_char_frac_expr("sh2", "text")).alias("top_2gram_char_frac_x1e4"),
+        x1e4(TS.dup_frac_expr("sh5")).alias("dup_5gram_frac_x1e4"),
+    )
+
+
+def q_quality_filter(spark, sf_dir):
+    """Composed Gopher-style keep/drop decision with a first-failing-rule
+    reason.  Thresholds compare fixed-point ints so the cross-engine
+    comparison never sits on a float boundary."""
+    rep = q_repetition_stats(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", TS.ws_token_count_expr("text").alias("ws_tokens")
+    )
+    j = rep.join(docs, "doc_id")
+    reason = (
+        F.when(F.col("ws_tokens") < 10, "too_short")
+        .when(F.col("dup_5gram_frac_x1e4") >= 5000, "rep_5gram")
+        .when(F.col("top_2gram_char_frac_x1e4") >= 1500, "top_2gram")
+        .when(F.col("dup_line_frac_x1e4") >= 5000, "dup_lines")
+        .otherwise("keep")
+    )
+    return j.select(
+        "doc_id", reason.alias("reason"), (reason == "keep").alias("keep")
+    )
+
+
+def q_pii_redaction(spark, sf_dir):
+    """PII counts + ordered-replace redaction.  The synthetic docs carry
+    no PII, so each doc is decorated with deterministic doc_id-derived
+    PII (built identically in the oracle SQL) before scrubbing; counts
+    are per-family on the decorated text, redaction is md5'd."""
+    from sherlog_parser_spark.functions import pii as PII
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    decorated = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), d.cast("string"), F.lit("@example.com ip 10.0."),
+        (d % 256).cast("string"), F.lit(".7 ssn 987-65-4321 tel 415-555-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+    )
+    bound = docs.select("doc_id", decorated.alias("ptext"))
+    return bound.select(
+        "doc_id",
+        PII.pii_count_expr("ptext", "email").alias("n_emails"),
+        PII.pii_count_expr("ptext", "ipv4").alias("n_ips"),
+        PII.pii_count_expr("ptext", "ssn").alias("n_ssns"),
+        PII.pii_count_expr("ptext", "phone").alias("n_phones"),
+        F.md5(PII.redact_pii_expr("ptext")).alias("redacted_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
 
 _MASK = duckdb_mask_sql("text")
 _TOKS = TS.dd_tokens("text")
+
+# repetition signals over documents: lines derived by ' merge ' -> newline
+# (the raw docs are single-line), shingles over the raw token stream —
+# byte-identical derivation to q_repetition_stats
+_MTEXT = "replace(text, ' merge ', chr(10))"
+_REPETITION_SQL = (
+    f"WITH t AS (SELECT doc_id, text, "
+    f"{TS.dd_lines(_MTEXT)} AS lines, "
+    f"{_TOKS} AS tk FROM documents), "
+    f"b AS (SELECT doc_id, text, lines, "
+    f"{TS.dd_word_shingles('tk', 2)} AS sh2, "
+    f"{TS.dd_word_shingles('tk', 5)} AS sh5 FROM t) "
+    f"SELECT doc_id, CAST(len(lines) AS INT) AS n_lines, "
+    f"CAST(floor(({TS.dd_dup_frac('lines')}) * 10000 + 0.5e0) AS BIGINT) AS dup_line_frac_x1e4, "
+    f"CAST(floor(({TS.dd_dup_char_frac('lines')}) * 10000 + 0.5e0) AS BIGINT) AS dup_line_char_frac_x1e4, "
+    f"CAST(floor(({TS.dd_top_ngram_char_frac('sh2', 'text')}) * 10000 + 0.5e0) AS BIGINT) AS top_2gram_char_frac_x1e4, "
+    f"CAST(floor(({TS.dd_dup_frac('sh5')}) * 10000 + 0.5e0) AS BIGINT) AS dup_5gram_frac_x1e4 "
+    f"FROM b"
+)
 
 _PARITIES = {
     p: [
@@ -759,6 +857,29 @@ def _oracle_sqls() -> dict[str, str]:
             "(m IS NULL) AS is_novel_group "
             "FROM r LEFT JOIN s USING (event_type) WHERE wrk > floor(wtot * 0.7e0)"
         ),
+        "repetition_stats": _REPETITION_SQL,
+        "quality_filter": (
+            f"WITH rep AS ({_REPETITION_SQL}), "
+            f"w AS (SELECT doc_id, {TS.dd_ws_token_count('text')} AS ws_tokens FROM documents), "
+            "r AS (SELECT rep.*, w.ws_tokens, CASE "
+            "WHEN w.ws_tokens < 10 THEN 'too_short' "
+            "WHEN rep.dup_5gram_frac_x1e4 >= 5000 THEN 'rep_5gram' "
+            "WHEN rep.top_2gram_char_frac_x1e4 >= 1500 THEN 'top_2gram' "
+            "WHEN rep.dup_line_frac_x1e4 >= 5000 THEN 'dup_lines' "
+            "ELSE 'keep' END AS reason FROM rep JOIN w USING (doc_id)) "
+            "SELECT doc_id, reason, reason = 'keep' AS keep FROM r"
+        ),
+        "pii_redaction": (
+            "WITH p AS (SELECT doc_id, text || ' contact u' || CAST(doc_id AS VARCHAR) "
+            "|| '@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) "
+            "|| '.7 ssn 987-65-4321 tel 415-555-' "
+            "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS ptext FROM documents) "
+            f"SELECT doc_id, CAST({PII.dd_pii_count('ptext', 'email')} AS INT) AS n_emails, "
+            f"CAST({PII.dd_pii_count('ptext', 'ipv4')} AS INT) AS n_ips, "
+            f"CAST({PII.dd_pii_count('ptext', 'ssn')} AS INT) AS n_ssns, "
+            f"CAST({PII.dd_pii_count('ptext', 'phone')} AS INT) AS n_phones, "
+            f"md5({PII.dd_redact_pii('ptext')}) AS redacted_md5 FROM p"
+        ),
     }
 
 
@@ -796,6 +917,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dup_candidates": q_simhash_dup_candidates,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "text_stats": q_text_stats,
+        "repetition_stats": q_repetition_stats,
+        "quality_filter": q_quality_filter,
+        "pii_redaction": q_pii_redaction,
         "timeseries_count_anomalies": q_timeseries_count_anomalies,
         "anomaly_incidents": q_anomaly_incidents,
     }

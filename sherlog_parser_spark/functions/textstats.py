@@ -118,6 +118,77 @@ def fingerprint_expr(text: Column | str, n: int = 3) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality filtering, Rae et al. 2021
+# appendix A — duplicate-line and repeated-n-gram fractions).  Mirrors the
+# reference's quality-filter role for training-data curation; formulas are
+# count-ratio based so the DuckDB renderings below agree bit-for-bit after
+# the house fixed-point scaling.
+#
+# IMPORTANT: every function taking a ``lines``/``shingles`` column expects a
+# BOUND attribute (a column projected in a prior select/withColumn), never a
+# raw expression tree — interpreted HOF lambdas re-evaluate outer expression
+# trees per element (no CSE), turning O(n) into O(n^2) on long documents.
+# ---------------------------------------------------------------------------
+
+
+def lines_expr(text: Column | str) -> Column:
+    """Non-empty trimmed lines of a document (split on newline)."""
+    c = F.col(text) if isinstance(text, str) else text
+    # NOT F.transform(.., F.trim): trim has an optional 2nd parameter, so
+    # the HOF arity dispatch would pass the element INDEX as the trim set
+    return F.filter(
+        F.transform(F.split(c, "\n"), lambda s: F.trim(s)),
+        lambda s: s != F.lit(""),
+    )
+
+
+def dup_frac_expr(arr: Column | str) -> Column:
+    """Fraction of array elements that are repeats of an earlier element:
+    (n - n_distinct) / n, 0 for empty.  Used for duplicate-line fraction
+    (over lines) and duplicated-n-gram fraction (over shingles)."""
+    a = F.col(arr) if isinstance(arr, str) else arr
+    n = F.size(a)
+    return F.when(
+        n > 0, (n - F.size(F.array_distinct(a))).cast("double") / n
+    ).otherwise(F.lit(0.0))
+
+
+def dup_char_frac_expr(arr: Column | str) -> Column:
+    """Fraction of characters contained in repeat occurrences (all
+    occurrences after the first) of array elements; 0 when the array is
+    empty or all-empty.  `arr` must be a bound attribute (see module note)."""
+    a = F.col(arr) if isinstance(arr, str) else arr
+    # element at 0-based index i is a repeat iff its first occurrence
+    # (1-based array_position) is not i+1
+    dups = F.filter(a, lambda x, i: F.array_position(a, x) != i + F.lit(1))
+    dup_chars = F.aggregate(dups, F.lit(0), lambda acc, x: acc + F.length(x))
+    tot_chars = F.aggregate(a, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.when(
+        tot_chars > 0, dup_chars.cast("double") / tot_chars
+    ).otherwise(F.lit(0.0))
+
+
+def top_ngram_char_frac_expr(shingles: Column | str, text: Column | str) -> Column:
+    """max over distinct n-grams g of count(g)*chars(g), divided by the
+    document's trimmed char count.  This equals Gopher's "fraction of
+    characters in the most frequent n-gram" whenever the argmax is unique,
+    and is deterministic under count ties (it maximizes the char mass
+    itself).  `shingles` must be a bound attribute (see module note)."""
+    sh = F.col(shingles) if isinstance(shingles, str) else shingles
+    c = F.col(text) if isinstance(text, str) else text
+    best = F.array_max(
+        F.transform(
+            F.array_distinct(sh),
+            lambda g: F.size(F.filter(sh, lambda x: x == g)) * F.length(g),
+        )
+    )
+    denom = F.length(F.trim(c))
+    return F.when(
+        (F.size(sh) > 0) & (denom > 0), best.cast("double") / denom
+    ).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
 # DuckDB renderings (identical semantics, used by oracle_sql)
 # ---------------------------------------------------------------------------
 
@@ -199,4 +270,44 @@ def dd_fingerprint(tokens_var: str, text_col: str, n: int = 3) -> str:
         f"CASE WHEN len({tokens_var}) >= {n} THEN "
         f"list_min(list_transform({sh}, s -> md5(s))) "
         f"ELSE md5(trim({text_col})) END"
+    )
+
+
+def dd_lines(text_col: str) -> str:
+    return (
+        f"list_filter(list_transform(string_split({text_col}, chr(10)), "
+        f"s -> trim(s)), s -> s <> '')"
+    )
+
+
+def dd_dup_frac(arr_var: str) -> str:
+    return (
+        f"CASE WHEN len({arr_var}) > 0 THEN "
+        f"CAST(len({arr_var}) - len(list_distinct({arr_var})) AS DOUBLE) / len({arr_var}) "
+        f"ELSE 0.0 END"
+    )
+
+
+def dd_dup_char_frac(arr_var: str) -> str:
+    # DuckDB indexed lambdas are 1-based (Spark's are 0-based); list_sum of
+    # an empty list is NULL, hence the coalesce
+    dup_chars = (
+        f"coalesce(list_sum(list_transform(list_filter({arr_var}, "
+        f"(x, i) -> list_position({arr_var}, x) <> i), x -> length(x))), 0)"
+    )
+    tot_chars = f"coalesce(list_sum(list_transform({arr_var}, x -> length(x))), 0)"
+    return (
+        f"CASE WHEN {tot_chars} > 0 THEN CAST({dup_chars} AS DOUBLE) / ({tot_chars}) "
+        f"ELSE 0.0 END"
+    )
+
+
+def dd_top_ngram_char_frac(sh_var: str, text_col: str) -> str:
+    best = (
+        f"list_max(list_transform(list_distinct({sh_var}), "
+        f"g -> len(list_filter({sh_var}, x -> x = g)) * length(g)))"
+    )
+    return (
+        f"CASE WHEN len({sh_var}) > 0 AND length(trim({text_col})) > 0 THEN "
+        f"CAST({best} AS DOUBLE) / length(trim({text_col})) ELSE 0.0 END"
     )
