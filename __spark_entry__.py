@@ -94,9 +94,14 @@ def q_normalized_templates(spark, sf_dir):
 
 def q_param_extract(spark, sf_dir):
     logs = _logs(spark, sf_dir).filter(F.col("event_id") < 1000)
-    parsed = logs.withColumn("template", mask_template_expr("text")).withColumn(
-        "params", extract_params_expr("text", "template")
-    )
+    # guards=False: the template expression is re-tokenized twice inside
+    # extract_params_expr, so the guarded (~5x larger) tree would cost
+    # seconds of per-query analysis+codegen for a 1000-row input (this was
+    # the r1 1.6s -> r2 3.8s "param_extract regression" — a driver-side
+    # planning constant, not execution)
+    parsed = logs.withColumn(
+        "template", mask_template_expr("text", guards=False)
+    ).withColumn("params", extract_params_expr("text", "template"))
     return parsed.select("event_id", F.explode("params").alias("param_name", "param_value"))
 
 

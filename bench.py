@@ -136,12 +136,21 @@ def bench_pipeline(
         if warmup_path
         else ""
     )
+    # -XX:ActiveProcessorCount: a taskset-pinned JVM otherwise sizes GC /
+    # JIT / netty pools for all 32 visible cores and oversubscribes the
+    # pin.  Real cluster executors run in cgroup-limited containers where
+    # the JVM sees exactly its core allocation — this flag is that
+    # emulation, not a tuning trick.
+    apc = (
+        "{'spark.driver.extraJavaOptions': '-XX:ActiveProcessorCount=%d',"
+        " 'spark.driver.cores': '%d'}" % (master_cores, master_cores)
+    )
     code = (
         "import sys, time, shutil;"
         f"sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r});"
         "from sherlog_parser_spark.session import get_spark;"
         "from sherlog_parser_spark.plans.pipeline import run_pipeline;"
-        f"spark = get_spark('bench-pipe', master='local[{master_cores}]');"
+        f"spark = get_spark('bench-pipe', master='local[{master_cores}]', extra_conf={apc});"
         + warm
         + f"df = spark.read.parquet({data_path!r});"
         "t0 = time.time();"

@@ -107,7 +107,9 @@ def masked_tokens_expr(text: Column | str) -> Column:
     return F.transform(tokens_expr(text), _mask_token_case)
 
 
-def mask_template_expr(text: Column | str, extended: bool = False) -> Column:
+def mask_template_expr(
+    text: Column | str, extended: bool = False, guards: bool = True
+) -> Column:
     """Masked template string (tokens joined by single spaces).
 
     Implemented as a chain of whole-string ``regexp_replace`` calls on a
@@ -142,11 +144,24 @@ def mask_template_expr(text: Column | str, extended: bool = False) -> Column:
     # full regex passes for the ~60% of turns without dots and ~74%
     # without 0x; fully digitless turns skip everything.  Byte-equality
     # with the unguarded chain is pinned by the expr==py fuzz tests.
+    # ``guards=False``: each CASE WHEN guard embeds the chain-so-far in
+    # BOTH branches, so the expression tree grows ~5x.  That is free where
+    # the mask is bound to a column once and execution dominates (the
+    # pipeline parse stage), but in doubly-NESTED contexts (param_extract
+    # tokenizes the template expression twice more) the enlarged tree
+    # costs seconds of driver-side analysis + codegen per query — a
+    # constant that swamps small-input queries.  Callers that nest this
+    # expression should pass guards=False; equality of both forms is
+    # pinned by the expr==py fuzz suite.
     has_digit = norm.rlike("[0-9]")
-    guards = {
-        r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}": norm.contains("."),
-        r"0x[0-9a-fA-F]+": norm.contains("0x"),
-    }
+    pass_guards = (
+        {
+            r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}": norm.contains("."),
+            r"0x[0-9a-fA-F]+": norm.contains("0x"),
+        }
+        if guards
+        else {}
+    )
 
     chain = out
     if extended:
@@ -157,8 +172,10 @@ def mask_template_expr(text: Column | str, extended: bool = False) -> Column:
             chain = F.regexp_replace(chain, pattern, repl)
     for pattern, mask in MASK_RULES:
         step = F.regexp_replace(chain, f"(\\s)(?:{pattern})(?=\\s)", "$1" + mask)
-        g = guards.get(pattern)
+        g = pass_guards.get(pattern)
         chain = F.when(g, step).otherwise(chain) if g is not None else step
+    if not guards:
+        return F.trim(chain)
     return F.trim(F.when(has_digit, chain).otherwise(out))
 
 

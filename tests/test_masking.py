@@ -43,6 +43,20 @@ def test_mask_expr_matches_python(spark):
         assert r["m"] == mask_template_py(r["text"]), r["text"]
 
 
+def test_mask_expr_guardless_equals_guarded(spark, transcripts):
+    """guards=False (small-tree variant for nested contexts) must stay
+    byte-identical to the guarded default on real transcript text."""
+    mism = (
+        transcripts.select(
+            mask_template_expr("text").alias("a"),
+            mask_template_expr("text", guards=False).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .count()
+    )
+    assert mism == 0
+
+
 def test_mask_udf_matches_expr(spark, transcripts):
     udf = make_masked_template_udf()
     mism = (
