@@ -514,6 +514,43 @@ def q_pii_redaction(spark, sf_dir):
     )
 
 
+def q_vocab_top_tokens(spark, sf_dir):
+    """Corpus vocabulary stats: term frequency + document frequency per
+    token, top-100.  The explode -> hash-groupBy shape map-side-combines;
+    at 100 TB this is the canonical vocab-building job (token cardinality
+    << corpus size, so the shuffle is tiny)."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(TS._tokens("text")).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.col("tf").desc(), "token")
+        .limit(100)
+    )
+
+
+def q_crossdoc_repeated_ngrams(spark, sf_dir):
+    """Cross-document repeated 4-gram spans — the aggregate core of
+    substring-level dedup (Lee et al. 2022 style): explode shingles,
+    hash-groupBy, keep spans seen in >1 document.  md5 here for the
+    oracle; the at-scale swap is xxhash64 (same note as minhash,
+    operators/dedup.py)."""
+    docs = _read(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(TS.word_shingles_expr("text", 4)).alias("s")
+    )
+    return (
+        sh.groupBy(F.md5("s").alias("h"))
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy(F.col("n_occ").desc(), "h")
+        .limit(50)
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -874,6 +911,18 @@ def _oracle_sqls() -> dict[str, str]:
             "ELSE 'keep' END AS reason FROM rep JOIN w USING (doc_id)) "
             "SELECT doc_id, reason, reason = 'keep' AS keep FROM r"
         ),
+        "vocab_top_tokens": (
+            f"WITH t AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents) "
+            "SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df "
+            "FROM t GROUP BY token ORDER BY tf DESC, token LIMIT 100"
+        ),
+        "crossdoc_repeated_ngrams": (
+            f"WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents), "
+            f"s AS (SELECT doc_id, unnest({TS.dd_word_shingles('tk', 4)}) AS s FROM t) "
+            "SELECT md5(s) AS h, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs "
+            "FROM s GROUP BY md5(s) HAVING count(DISTINCT doc_id) > 1 "
+            "ORDER BY n_occ DESC, h LIMIT 50"
+        ),
         "pii_redaction": (
             "WITH p AS (SELECT doc_id, text || ' contact u' || CAST(doc_id AS VARCHAR) "
             "|| '@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) "
@@ -925,6 +974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "quality_filter": q_quality_filter,
         "pii_redaction": q_pii_redaction,
+        "vocab_top_tokens": q_vocab_top_tokens,
+        "crossdoc_repeated_ngrams": q_crossdoc_repeated_ngrams,
         "timeseries_count_anomalies": q_timeseries_count_anomalies,
         "anomaly_incidents": q_anomaly_incidents,
     }
