@@ -54,6 +54,11 @@ HEADLINE = [
     "embedding_topk",
     "lsh_ann_topk",
     "text_stats",
+    # r3 curation queries
+    "repetition_stats",
+    "pii_redaction",
+    "vocab_top_tokens",
+    "crossdoc_repeated_ngrams",
 ]
 
 

@@ -187,3 +187,32 @@ def test_dedup_scale_paths_have_no_cartesian(spark):
         plan = _plan(df)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_new_doc_queries_plan_quality(spark):
+    """r3 curation queries: scans prune to the needed columns and the
+    vocab/crossdoc aggregates map-side-combine (partial_count before the
+    key exchange)."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    qs = entrymod.queries()
+
+    plan = _plan(qs["vocab_top_tokens"](spark, sf))
+    assert "partial_count" in plan  # map-side combine before the shuffle
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "doc_id", "text"
+    }
+
+    plan = _plan(qs["crossdoc_repeated_ngrams"](spark, sf))
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+    # repetition_stats / pii_redaction are pure projections: no shuffle
+    for name in ("repetition_stats", "pii_redaction"):
+        plan = _plan(qs[name](spark, sf))
+        assert "Exchange hashpartitioning" not in plan, name
+        assert "CartesianProduct" not in plan, name
