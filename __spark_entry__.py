@@ -252,10 +252,16 @@ def q_timeseries_count_anomalies(spark, sf_dir):
 
 
 def q_anomaly_incidents(spark, sf_dir):
-    """Composed incident detector (rows-only: DBSCAN is not
-    SQL-expressible).  Deterministic ts/value synthesized from vec_id so
-    the full flow — prefilter fallback, DBSCAN, small-cluster, numeric
-    z, OR-combine, ts-desc sort — runs on the fixture."""
+    """Composed incident detector, oracle-compared since r3: sequential
+    DBSCAN is reproducible in SQL because (a) noise/core classification
+    is order-free, (b) cluster ids are the dense rank of each core
+    component's minimal core index (clusters are discovered in index
+    order), and (c) border points take the MIN neighboring cluster id
+    (clusters expand fully in id order).  eps=0.7 picked so the fixture
+    exhibits every branch: multi-member clusters, sub-min_samples small
+    clusters, noise, numeric outliers (min pair-distance gap to the eps
+    fence is 7.6e-6 — six orders above cross-engine float ulps).
+    Deterministic ts/value synthesized from vec_id."""
     from sherlog_parser_spark.operators.anomaly import detect_anomaly_incidents
 
     emb = (
@@ -268,7 +274,7 @@ def q_anomaly_incidents(spark, sf_dir):
         emb,
         id_cols=("vec_id",),
         numeric_cols=("value",),
-        eps=0.8,
+        eps=0.7,
         min_samples=5,
         numeric_std_threshold=2.5,
     ).select("vec_id", "cluster", "is_embedding_anomaly", "is_numeric_anomaly")
@@ -911,6 +917,45 @@ def _oracle_sqls() -> dict[str, str]:
             "ELSE 'keep' END AS reason FROM rep JOIN w USING (doc_id)) "
             "SELECT doc_id, reason, reason = 'keep' AS keep FROM r"
         ),
+        "anomaly_incidents": (
+            # sequential DBSCAN replayed in SQL (see q_anomaly_incidents
+            # docstring for why the order-dependent parts are in fact
+            # deterministic): pairwise cosine distances -> core points
+            # (>= min_samples neighbors incl. self) -> clusters = core
+            # components ranked by min core index (recursive CTE) ->
+            # borders take the min neighboring cluster -> small-cluster /
+            # noise flags -> per-cluster numeric z on value = vec_id % 97
+            "WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000), "
+            f"nr AS (SELECT vec_id, embedding, CASE WHEN ({_dd_norm('embedding')}) = 0 "
+            f"THEN 1.0e0 ELSE ({_dd_norm('embedding')}) END AS nrm FROM e), "
+            "p AS (SELECT a.vec_id AS i, b.vec_id AS j, "
+            f"1.0e0 - ({_dd_dot('a.embedding', 'b.embedding')}) / (a.nrm * b.nrm) AS d "
+            "FROM nr a, nr b), "
+            "nb AS (SELECT i, count(*) AS cnt FROM p WHERE d <= 0.7e0 GROUP BY i), "
+            "core AS (SELECT i FROM nb WHERE cnt >= 5), "
+            "ce AS (SELECT p.i AS s, p.j AS t FROM p WHERE p.d <= 0.7e0 "
+            "AND p.i IN (SELECT i FROM core) AND p.j IN (SELECT i FROM core)), "
+            "reach AS (WITH RECURSIVE r(id, x) AS (SELECT s, s FROM ce "
+            "UNION SELECT r.id, ce.t FROM r JOIN ce ON ce.s = r.x) "
+            "SELECT id, min(x) AS comp FROM r GROUP BY id), "
+            "clus AS (SELECT id, dense_rank() OVER (ORDER BY comp) - 1 AS cluster FROM reach), "
+            "border AS (SELECT p.i AS id, min(c.cluster) AS cluster FROM p "
+            "JOIN clus c ON p.j = c.id WHERE p.d <= 0.7e0 "
+            "AND p.i NOT IN (SELECT i FROM core) GROUP BY p.i), "
+            "lab AS (SELECT e.vec_id, CAST(coalesce(c.cluster, b.cluster, -1) AS BIGINT) AS cluster "
+            "FROM e LEFT JOIN clus c ON e.vec_id = c.id LEFT JOIN border b ON e.vec_id = b.id), "
+            "sizes AS (SELECT cluster, count(*) AS n FROM lab GROUP BY cluster), "
+            "base AS (SELECT l.vec_id, l.cluster, (l.cluster = -1 OR s.n < 5) AS is_embedding_anomaly, "
+            "CAST(l.vec_id % 97 AS DOUBLE) AS value FROM lab l JOIN sizes s USING (cluster)), "
+            "cs AS (SELECT cluster, avg(value) AS m, stddev_samp(value) AS sd, count(value) AS n "
+            "FROM base WHERE cluster <> -1 GROUP BY cluster), "
+            "fl AS (SELECT b.vec_id, b.cluster, b.is_embedding_anomaly, "
+            "coalesce(b.cluster <> -1 AND cs.n >= 2 AND cs.sd > 0 "
+            "AND abs(b.value - cs.m) > 2.5e0 * cs.sd, FALSE) AS is_numeric_anomaly "
+            "FROM base b LEFT JOIN cs USING (cluster)) "
+            "SELECT vec_id, cluster, is_embedding_anomaly, is_numeric_anomaly "
+            "FROM fl WHERE is_embedding_anomaly OR is_numeric_anomaly"
+        ),
         "vocab_top_tokens": (
             f"WITH t AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents) "
             "SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df "
@@ -983,9 +1028,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # Queries with no oracle_sql entry, and why: the driver records a weaker
 # rows-only check for these (documented divergence, SURVEY §2.11).
-ROWS_ONLY = {
-    # DBSCAN density clustering is not expressible in ANSI SQL; the
-    # operator's semantics are pinned by tests/test_anomaly_x3.py
-    # (planted noise, small-cluster, numeric z, prefilter fallback).
-    "anomaly_incidents",
-}
+# Empty since r3: the last member (anomaly_incidents) gained a full
+# DuckDB oracle — sequential DBSCAN is order-independent in its
+# core/noise classification, and its cluster numbering/border
+# assignment reduce to min-core-index component ranks (see
+# q_anomaly_incidents).
+ROWS_ONLY: set[str] = set()
