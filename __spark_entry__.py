@@ -280,6 +280,32 @@ def q_anomaly_incidents(spark, sf_dir):
     ).select("vec_id", "cluster", "is_embedding_anomaly", "is_numeric_anomaly")
 
 
+def q_anomaly_incidents_windowed(spark, sf_dir):
+    """The at-scale mode of the incident detector: each time window
+    clusters independently (applyInPandas per window, cluster ids and
+    numeric baselines scoped per window).  Windows synthesized as 4
+    deterministic 125-vector buckets; the oracle replays the same
+    DBSCAN SQL partitioned by window."""
+    from sherlog_parser_spark.operators.anomaly import detect_anomaly_incidents
+
+    emb = (
+        _read(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 2000)
+        .withColumn("w", (F.floor(F.col("vec_id") / 125) * 3600).cast("timestamp"))
+        .withColumn("ts", F.col("vec_id").cast("timestamp"))
+        .withColumn("value", (F.pmod(F.col("vec_id"), F.lit(97))).cast("double"))
+    )
+    return detect_anomaly_incidents(
+        emb,
+        id_cols=("vec_id",),
+        numeric_cols=("value",),
+        eps=0.7,
+        min_samples=5,
+        numeric_std_threshold=2.5,
+        window_col="w",
+    ).select("w", "vec_id", "cluster", "is_embedding_anomaly", "is_numeric_anomaly")
+
+
 def q_pricing_summary(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
     return (
@@ -627,6 +653,79 @@ _SIMHASH_BITS = " + ".join(
 )
 
 
+def _dbscan_incident_sql(windowed: bool) -> str:
+    """Sequential DBSCAN replayed in SQL (see q_anomaly_incidents
+    docstring for why the order-dependent parts are deterministic):
+    pairwise cosine distances -> core points (>= min_samples neighbors
+    incl. self) -> clusters = core components ranked by min core index
+    (recursive CTE) -> borders take the min neighboring cluster ->
+    small-cluster / noise flags -> per-cluster numeric z on
+    value = vec_id % 97.  ``windowed=True`` scopes every step (pairs,
+    cores, components, sizes, baselines) to the synthesized 125-vector
+    time window, mirroring the applyInPandas per-window mode."""
+    w = "w, " if windowed else ""
+    wsel = (
+        ", CAST(to_timestamp(CAST(floor(vec_id / 125) * 3600 AS BIGINT)) AS TIMESTAMP) AS w"
+        if windowed
+        else ""
+    )
+    pw = "a.w AS w, " if windowed else ""
+    weq_p = "a.w = b.w AND " if windowed else ""
+    wpart = "PARTITION BY w " if windowed else ""
+    using_wc = "w, cluster" if windowed else "cluster"
+    # EXISTS, not (w, i) IN (...): DuckDB rejects multi-column IN subqueries
+    core_i = (
+        "EXISTS (SELECT 1 FROM core k WHERE k.w = p.w AND k.i = p.i)"
+        if windowed
+        else "EXISTS (SELECT 1 FROM core k WHERE k.i = p.i)"
+    )
+    core_j = (
+        "EXISTS (SELECT 1 FROM core k WHERE k.w = p.w AND k.i = p.j)"
+        if windowed
+        else "EXISTS (SELECT 1 FROM core k WHERE k.i = p.j)"
+    )
+    rsel = "r.w, r.id, ce.t" if windowed else "r.id, ce.t"
+    rjoin = "ce.w = r.w AND ce.s = r.x" if windowed else "ce.s = r.x"
+    cw = "c.w = p.w AND " if windowed else ""
+    ecw = "c.w = e.w AND " if windowed else ""
+    ebw = "b.w = e.w AND " if windowed else ""
+    return (
+        f"WITH e AS (SELECT vec_id, embedding{wsel} FROM embeddings WHERE vec_id < 2000), "
+        f"nr AS (SELECT {w}vec_id, embedding, CASE WHEN ({_dd_norm('embedding')}) = 0 "
+        f"THEN 1.0e0 ELSE ({_dd_norm('embedding')}) END AS nrm FROM e), "
+        f"p AS (SELECT {pw}a.vec_id AS i, b.vec_id AS j, "
+        f"1.0e0 - ({_dd_dot('a.embedding', 'b.embedding')}) / (a.nrm * b.nrm) AS d "
+        f"FROM nr a JOIN nr b ON {weq_p}TRUE), "
+        f"nb AS (SELECT {w}i, count(*) AS cnt FROM p WHERE d <= 0.7e0 GROUP BY {w}i), "
+        f"core AS (SELECT {w}i FROM nb WHERE cnt >= 5), "
+        f"ce AS (SELECT {'p.w AS w, ' if windowed else ''}p.i AS s, p.j AS t FROM p "
+        f"WHERE p.d <= 0.7e0 AND {core_i} AND {core_j}), "
+        f"reach AS (WITH RECURSIVE r({w}id, x) AS (SELECT {w}s, s FROM ce "
+        f"UNION SELECT {rsel} FROM r JOIN ce ON {rjoin}) "
+        f"SELECT {w}id, min(x) AS comp FROM r GROUP BY {w}id), "
+        f"clus AS (SELECT {w}id, dense_rank() OVER ({wpart}ORDER BY comp) - 1 AS cluster FROM reach), "
+        f"border AS (SELECT {'p.w AS w, ' if windowed else ''}p.i AS id, min(c.cluster) AS cluster "
+        f"FROM p JOIN clus c ON {cw}p.j = c.id WHERE p.d <= 0.7e0 "
+        f"AND NOT {core_i} GROUP BY {'p.w, ' if windowed else ''}p.i), "
+        f"lab AS (SELECT {'e.w, ' if windowed else ''}e.vec_id, "
+        f"CAST(coalesce(c.cluster, b.cluster, -1) AS BIGINT) AS cluster "
+        f"FROM e LEFT JOIN clus c ON {ecw}e.vec_id = c.id "
+        f"LEFT JOIN border b ON {ebw}e.vec_id = b.id), "
+        f"sizes AS (SELECT {w}cluster, count(*) AS n FROM lab GROUP BY {w}cluster), "
+        f"base AS (SELECT {'l.w, ' if windowed else ''}l.vec_id, l.cluster, "
+        f"(l.cluster = -1 OR s.n < 5) AS is_embedding_anomaly, "
+        f"CAST(l.vec_id % 97 AS DOUBLE) AS value FROM lab l JOIN sizes s USING ({using_wc})), "
+        f"cs AS (SELECT {w}cluster, avg(value) AS m, stddev_samp(value) AS sd, count(value) AS n "
+        f"FROM base WHERE cluster <> -1 GROUP BY {w}cluster), "
+        f"fl AS (SELECT {'b.w, ' if windowed else ''}b.vec_id, b.cluster, b.is_embedding_anomaly, "
+        f"coalesce(b.cluster <> -1 AND cs.n >= 2 AND cs.sd > 0 "
+        f"AND abs(b.value - cs.m) > 2.5e0 * cs.sd, FALSE) AS is_numeric_anomaly "
+        f"FROM base b LEFT JOIN cs USING ({using_wc})) "
+        f"SELECT {w}vec_id, cluster, is_embedding_anomaly, is_numeric_anomaly "
+        f"FROM fl WHERE is_embedding_anomaly OR is_numeric_anomaly"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     sqls = _oracle_sqls()
     # the star-components variant must agree with the same recursive-CTE
@@ -917,45 +1016,8 @@ def _oracle_sqls() -> dict[str, str]:
             "ELSE 'keep' END AS reason FROM rep JOIN w USING (doc_id)) "
             "SELECT doc_id, reason, reason = 'keep' AS keep FROM r"
         ),
-        "anomaly_incidents": (
-            # sequential DBSCAN replayed in SQL (see q_anomaly_incidents
-            # docstring for why the order-dependent parts are in fact
-            # deterministic): pairwise cosine distances -> core points
-            # (>= min_samples neighbors incl. self) -> clusters = core
-            # components ranked by min core index (recursive CTE) ->
-            # borders take the min neighboring cluster -> small-cluster /
-            # noise flags -> per-cluster numeric z on value = vec_id % 97
-            "WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000), "
-            f"nr AS (SELECT vec_id, embedding, CASE WHEN ({_dd_norm('embedding')}) = 0 "
-            f"THEN 1.0e0 ELSE ({_dd_norm('embedding')}) END AS nrm FROM e), "
-            "p AS (SELECT a.vec_id AS i, b.vec_id AS j, "
-            f"1.0e0 - ({_dd_dot('a.embedding', 'b.embedding')}) / (a.nrm * b.nrm) AS d "
-            "FROM nr a, nr b), "
-            "nb AS (SELECT i, count(*) AS cnt FROM p WHERE d <= 0.7e0 GROUP BY i), "
-            "core AS (SELECT i FROM nb WHERE cnt >= 5), "
-            "ce AS (SELECT p.i AS s, p.j AS t FROM p WHERE p.d <= 0.7e0 "
-            "AND p.i IN (SELECT i FROM core) AND p.j IN (SELECT i FROM core)), "
-            "reach AS (WITH RECURSIVE r(id, x) AS (SELECT s, s FROM ce "
-            "UNION SELECT r.id, ce.t FROM r JOIN ce ON ce.s = r.x) "
-            "SELECT id, min(x) AS comp FROM r GROUP BY id), "
-            "clus AS (SELECT id, dense_rank() OVER (ORDER BY comp) - 1 AS cluster FROM reach), "
-            "border AS (SELECT p.i AS id, min(c.cluster) AS cluster FROM p "
-            "JOIN clus c ON p.j = c.id WHERE p.d <= 0.7e0 "
-            "AND p.i NOT IN (SELECT i FROM core) GROUP BY p.i), "
-            "lab AS (SELECT e.vec_id, CAST(coalesce(c.cluster, b.cluster, -1) AS BIGINT) AS cluster "
-            "FROM e LEFT JOIN clus c ON e.vec_id = c.id LEFT JOIN border b ON e.vec_id = b.id), "
-            "sizes AS (SELECT cluster, count(*) AS n FROM lab GROUP BY cluster), "
-            "base AS (SELECT l.vec_id, l.cluster, (l.cluster = -1 OR s.n < 5) AS is_embedding_anomaly, "
-            "CAST(l.vec_id % 97 AS DOUBLE) AS value FROM lab l JOIN sizes s USING (cluster)), "
-            "cs AS (SELECT cluster, avg(value) AS m, stddev_samp(value) AS sd, count(value) AS n "
-            "FROM base WHERE cluster <> -1 GROUP BY cluster), "
-            "fl AS (SELECT b.vec_id, b.cluster, b.is_embedding_anomaly, "
-            "coalesce(b.cluster <> -1 AND cs.n >= 2 AND cs.sd > 0 "
-            "AND abs(b.value - cs.m) > 2.5e0 * cs.sd, FALSE) AS is_numeric_anomaly "
-            "FROM base b LEFT JOIN cs USING (cluster)) "
-            "SELECT vec_id, cluster, is_embedding_anomaly, is_numeric_anomaly "
-            "FROM fl WHERE is_embedding_anomaly OR is_numeric_anomaly"
-        ),
+        "anomaly_incidents": _dbscan_incident_sql(windowed=False),
+        "anomaly_incidents_windowed": _dbscan_incident_sql(windowed=True),
         "vocab_top_tokens": (
             f"WITH t AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents) "
             "SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df "
@@ -1023,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossdoc_repeated_ngrams": q_crossdoc_repeated_ngrams,
         "timeseries_count_anomalies": q_timeseries_count_anomalies,
         "anomaly_incidents": q_anomaly_incidents,
+        "anomaly_incidents_windowed": q_anomaly_incidents_windowed,
     }
 
 
