@@ -306,6 +306,29 @@ def q_anomaly_incidents_windowed(spark, sf_dir):
     ).select("w", "vec_id", "cluster", "is_embedding_anomaly", "is_numeric_anomaly")
 
 
+def q_unicode_nfc(spark, sf_dir):
+    """Unicode NFC normalization (pandas-UDF surface with a value
+    oracle).  Docs are decorated with doc_id-dependent combining
+    sequences ('e'+U+0301 / U+0300) next to their precomposed forms, so
+    the md5 only matches if NFC actually collapses them; char counts
+    before/after expose the collapse."""
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    comb = F.when(d % 2 == 0, F.lit("\u0301")).otherwise(F.lit("\u0300"))
+    pre = F.when(d % 2 == 0, F.lit("\u00e9")).otherwise(F.lit("\u00e8"))
+    decorated = F.concat(F.col("text"), F.lit(" e"), comb, F.lit(" "), pre)
+    nfc = TS.make_nfc_normalize_udf()
+    bound = docs.select("doc_id", decorated.alias("dt")).select(
+        "doc_id", "dt", nfc(F.col("dt")).alias("nt")
+    )
+    return bound.select(
+        "doc_id",
+        F.length("dt").alias("n_chars_raw"),
+        F.length("nt").alias("n_chars_nfc"),
+        F.md5("nt").alias("nfc_md5"),
+    )
+
+
 def q_pricing_summary(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
     return (
@@ -1018,6 +1041,15 @@ def _oracle_sqls() -> dict[str, str]:
         ),
         "anomaly_incidents": _dbscan_incident_sql(windowed=False),
         "anomaly_incidents_windowed": _dbscan_incident_sql(windowed=True),
+        "unicode_nfc": (
+            "WITH p AS (SELECT doc_id, text || ' e' "
+            "|| CASE WHEN doc_id % 2 = 0 THEN chr(769) ELSE chr(768) END "
+            "|| ' ' || CASE WHEN doc_id % 2 = 0 THEN chr(233) ELSE chr(232) END AS dt "
+            "FROM documents), "
+            "n AS (SELECT doc_id, dt, nfc_normalize(dt) AS nt FROM p) "
+            "SELECT doc_id, CAST(length(dt) AS INT) AS n_chars_raw, "
+            "CAST(length(nt) AS INT) AS n_chars_nfc, md5(nt) AS nfc_md5 FROM n"
+        ),
         "vocab_top_tokens": (
             f"WITH t AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents) "
             "SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df "
@@ -1081,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "quality_filter": q_quality_filter,
         "pii_redaction": q_pii_redaction,
+        "unicode_nfc": q_unicode_nfc,
         "vocab_top_tokens": q_vocab_top_tokens,
         "crossdoc_repeated_ngrams": q_crossdoc_repeated_ngrams,
         "timeseries_count_anomalies": q_timeseries_count_anomalies,

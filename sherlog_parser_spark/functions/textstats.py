@@ -11,6 +11,7 @@ float drift out of the comparison.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -271,6 +272,26 @@ def dd_fingerprint(tokens_var: str, text_col: str, n: int = 3) -> str:
         f"list_min(list_transform({sh}, s -> md5(s))) "
         f"ELSE md5(trim({text_col})) END"
     )
+
+
+def make_nfc_normalize_udf():
+    """Arrow-batched pandas UDF: Unicode NFC normalization (the curation
+    step that canonicalizes combining sequences before dedup/hashing —
+    without it, 'e'+U+0301 and precomposed U+00E9 hash differently and
+    near-dup pipelines under-merge).  Spark has no built-in NFC, so this
+    is a genuine pandas-UDF-surface operator; the DuckDB oracle uses
+    nfc_normalize, and both implement the same Unicode spec exactly."""
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def nfc_udf(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    return nfc_udf
 
 
 def dd_lines(text_col: str) -> str:
