@@ -606,6 +606,31 @@ def q_crossdoc_repeated_ngrams(spark, sf_dir):
     )
 
 
+def q_repeated_ngram_spans(spark, sf_dir):
+    """Substring-dedup span EXTRACTION: per-occurrence (doc_id, token
+    position) of 4-gram shingles that repeat across documents — the
+    actionable form of crossdoc_repeated_ngrams (positions are what a
+    dedup pass needs to cut the text).  Shape: posexplode -> hash
+    groupBy -> equi-join back on the repeated-hash set (no broadcast
+    hint: at corpus scale the repeated set is data-sized; AQE picks
+    broadcast when it actually fits)."""
+    docs = _read(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.posexplode(TS.word_shingles_expr("text", 4)).alias("pos", "s")
+    ).withColumn("h", F.md5("s")).drop("s")
+    rep = (
+        sh.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+    return (
+        sh.join(rep, "h")
+        .select("doc_id", "pos", "h", "n_docs")
+        .orderBy("doc_id", "pos", "h")
+        .limit(500)
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -1055,6 +1080,17 @@ def _oracle_sqls() -> dict[str, str]:
             "SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df "
             "FROM t GROUP BY token ORDER BY tf DESC, token LIMIT 100"
         ),
+        "repeated_ngram_spans": (
+            f"WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents), "
+            f"g AS (SELECT doc_id, {TS.dd_word_shingles('tk', 4)} AS sh FROM t), "
+            "s AS (SELECT doc_id, u.pos AS pos, md5(u.s) AS h FROM g, "
+            "unnest(list_transform(range(1, len(sh) + 1), "
+            "i -> {'pos': i - 1, 's': sh[i]})) AS r(u)), "
+            "rep AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM s "
+            "GROUP BY h HAVING count(DISTINCT doc_id) > 1) "
+            "SELECT s.doc_id, CAST(s.pos AS INT) AS pos, s.h, rep.n_docs "
+            "FROM s JOIN rep USING (h) ORDER BY doc_id, pos, h LIMIT 500"
+        ),
         "crossdoc_repeated_ngrams": (
             f"WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents), "
             f"s AS (SELECT doc_id, unnest({TS.dd_word_shingles('tk', 4)}) AS s FROM t) "
@@ -1116,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_nfc": q_unicode_nfc,
         "vocab_top_tokens": q_vocab_top_tokens,
         "crossdoc_repeated_ngrams": q_crossdoc_repeated_ngrams,
+        "repeated_ngram_spans": q_repeated_ngram_spans,
         "timeseries_count_anomalies": q_timeseries_count_anomalies,
         "anomaly_incidents": q_anomaly_incidents,
         "anomaly_incidents_windowed": q_anomaly_incidents_windowed,
