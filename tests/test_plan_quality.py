@@ -211,6 +211,10 @@ def test_new_doc_queries_plan_quality(spark):
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
 
+    plan = _plan(qs["repeated_ngram_spans"](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # equi-join on h only
+
     # repetition_stats / pii_redaction are pure projections: no shuffle
     for name in ("repetition_stats", "pii_redaction"):
         plan = _plan(qs[name](spark, sf))
