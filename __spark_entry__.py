@@ -631,6 +631,40 @@ def q_repeated_ngram_spans(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix C / Dolma style): flag
+    training docs sharing any 4-gram with the held-out benchmark set
+    (stand-in: doc_id % 50 == 0).  The benchmark shingle set is the one
+    genuinely SMALL side in this file — real eval suites are MBs — so
+    the explicit broadcast is correct at any corpus scale; the train
+    side never shuffles (map-side hash semi-join + partial agg)."""
+    docs = _read(spark, sf_dir, "documents")
+    bench_sh = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode(TS.word_shingles_expr("text", 4)).alias("s"))
+        .select(F.md5("s").alias("h"))
+        .distinct()
+    )
+    train_sh = docs.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id", F.explode(TS.word_shingles_expr("text", 4)).alias("s")
+    ).select("doc_id", F.md5("s").alias("h"))
+    hits = (
+        train_sh.join(F.broadcast(bench_sh), "h")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("h").alias("n_contaminated"))
+    )
+    return (
+        docs.filter(F.col("doc_id") % 50 != 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            (F.coalesce("n_contaminated", F.lit(0)) == 0).alias("is_clean"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -1080,6 +1114,17 @@ def _oracle_sqls() -> dict[str, str]:
             "SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df "
             "FROM t GROUP BY token ORDER BY tf DESC, token LIMIT 100"
         ),
+        "decontaminate": (
+            f"WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents), "
+            f"g AS (SELECT doc_id, {TS.dd_word_shingles('tk', 4)} AS sh FROM t), "
+            "bs AS (SELECT DISTINCT md5(unnest(sh)) AS h FROM g WHERE doc_id % 50 = 0), "
+            "ts AS (SELECT doc_id, md5(unnest(sh)) AS h FROM g WHERE doc_id % 50 <> 0), "
+            "hits AS (SELECT doc_id, count(DISTINCT h) AS n_contaminated FROM ts "
+            "WHERE h IN (SELECT h FROM bs) GROUP BY doc_id) "
+            "SELECT g.doc_id, CAST(coalesce(hits.n_contaminated, 0) AS BIGINT) AS n_contaminated, "
+            "coalesce(hits.n_contaminated, 0) = 0 AS is_clean "
+            "FROM g LEFT JOIN hits USING (doc_id) WHERE g.doc_id % 50 <> 0"
+        ),
         "repeated_ngram_spans": (
             f"WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents), "
             f"g AS (SELECT doc_id, {TS.dd_word_shingles('tk', 4)} AS sh FROM t), "
@@ -1153,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_tokens": q_vocab_top_tokens,
         "crossdoc_repeated_ngrams": q_crossdoc_repeated_ngrams,
         "repeated_ngram_spans": q_repeated_ngram_spans,
+        "decontaminate": q_decontaminate,
         "timeseries_count_anomalies": q_timeseries_count_anomalies,
         "anomaly_incidents": q_anomaly_incidents,
         "anomaly_incidents_windowed": q_anomaly_incidents_windowed,

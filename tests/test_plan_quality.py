@@ -215,6 +215,12 @@ def test_new_doc_queries_plan_quality(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan  # equi-join on h only
 
+    # decontaminate: the benchmark shingle set is the genuinely small
+    # side - it must broadcast; the train side must not range/hash
+    # exchange before that join
+    plan = _plan(qs["decontaminate"](spark, sf))
+    assert "BroadcastHashJoin" in plan
+
     # repetition_stats / pii_redaction are pure projections: no shuffle
     for name in ("repetition_stats", "pii_redaction"):
         plan = _plan(qs[name](spark, sf))
