@@ -59,6 +59,8 @@ HEADLINE = [
     "pii_redaction",
     "vocab_top_tokens",
     "crossdoc_repeated_ngrams",
+    "unicode_nfc",
+    "decontaminate",
 ]
 
 
