@@ -75,8 +75,10 @@ def main() -> int:
             ).cache()
             scores[mode] = M.evaluate(results)
             scores[mode]["rows"] = results.count()
-        print(json.dumps(scores, indent=2))
+        # back-compat top-level key set BEFORE print so stdout and the
+        # --out file carry identical JSON (r3 advice)
         scores["grouping_accuracy"] = scores["default"]["grouping_accuracy"]
+        print(json.dumps(scores, indent=2))
         if args.out:
             with open(args.out, "w") as f:
                 json.dump(scores, f, indent=2)

@@ -116,9 +116,12 @@ def pattern_parse_ranked(
 
     structs = []
     for i, cp in enumerate(patterns):
-        if cp.center is not None:
+        if cp.center is not None and any(float(x) != 0.0 for x in cp.center):
             center = F.array(*[F.lit(float(x)) for x in cp.center])
-            cos = cosine_expr(vec, center)
+            # zero-norm row embedding → 0/0 = NaN, and NaN sorts ABOVE
+            # every real double in struct ordering; nanvl pins it to the
+            # same 0.0 the no-center default uses (r3 advice)
+            cos = F.nanvl(cosine_expr(vec, center), F.lit(0.0))
         else:
             cos = F.lit(0.0)
         structs.append(

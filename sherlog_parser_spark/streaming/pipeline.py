@@ -125,10 +125,23 @@ def compact_stream_output(
     directory, or the replay would duplicate rows the compactor already
     moved).  Pass e.g. ``max(committed) - 1`` from the checkpoint.
 
-    Idempotent per batch via marker files under
-    ``<compacted_dir>/_compacted/``: a crash between append and delete
-    re-skips the append on rerun and just finishes the delete.  Returns
-    the batch ids compacted this call.
+    Idempotent per batch via stage -> marker -> publish (r3 advice: a
+    bare ``mode("append")`` before the marker duplicated the batch when
+    the process died between the append commit and the marker create):
+
+    1. STAGE: rewrite the batch into a deterministic per-batch staging
+       dir with ``mode("overwrite")`` — a crashed half-stage is simply
+       overwritten on rerun;
+    2. MARK: create ``<compacted_dir>/_compacted/batch_id=N`` only after
+       the staging write committed;
+    3. PUBLISH: rename each staged data file into the final partition
+       layout (file names carry the writing job's UUID, so renames never
+       collide), then delete staging and the source batch dir.
+
+    Every crash point replays cleanly: before the marker -> restage
+    (overwrite); after the marker -> skip the write, move whatever is
+    still in staging (already-moved files are gone from it), finish the
+    deletes.  Returns the batch ids compacted this call.
     """
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
@@ -138,6 +151,26 @@ def compact_stream_output(
         return []
     marker_dir = jvm.org.apache.hadoop.fs.Path(compacted_dir, "_compacted")
     fs.mkdirs(marker_dir)
+    dest_root = jvm.org.apache.hadoop.fs.Path(compacted_dir)
+
+    def _publish(src_dir, rel=""):
+        """Move staged data files into compacted_dir, preserving the
+        partition-directory structure; resumable (moved files vanish
+        from staging, so a rerun only moves the remainder)."""
+        for st in fs.listStatus(src_dir):
+            nm = st.getPath().getName()
+            if nm.startswith("_") or nm.startswith("."):
+                continue  # _SUCCESS / hidden — never published
+            if st.isDirectory():
+                _publish(st.getPath(), f"{rel}{nm}/")
+            else:
+                tgt_dir = (
+                    jvm.org.apache.hadoop.fs.Path(dest_root, rel.rstrip("/"))
+                    if rel
+                    else dest_root
+                )
+                fs.mkdirs(tgt_dir)
+                fs.rename(st.getPath(), jvm.org.apache.hadoop.fs.Path(tgt_dir, nm))
 
     done: list[int] = []
     for status in fs.listStatus(out_path):
@@ -148,15 +181,19 @@ def compact_stream_output(
         if bid > up_to_batch_id:
             continue
         marker = jvm.org.apache.hadoop.fs.Path(marker_dir, name)
+        staging = jvm.org.apache.hadoop.fs.Path(compacted_dir, f"_staging_{name}")
         if not fs.exists(marker):
             (
                 spark.read.parquet(str(status.getPath()))
-                .write.mode("append")
+                .write.mode("overwrite")
                 .option("parquet.enable.dictionary", "false")
                 .partitionBy("template_id", "tool", "conv_bucket")
-                .parquet(compacted_dir)
+                .parquet(str(staging))
             )
             fs.create(marker, True).close()
+        if fs.exists(staging):
+            _publish(staging)
+            fs.delete(staging, True)
         fs.delete(status.getPath(), True)
         done.append(bid)
     return sorted(done)

@@ -114,6 +114,71 @@ def test_compact_stream_output_folds_batches_into_batch_layout(spark, stream_set
     assert got == expected
 
 
+def test_compact_stream_output_crash_replay_no_duplicates(spark, stream_setup):
+    """r4 ADVICE (medium): the r3 compactor appended BEFORE creating the
+    marker, so a crash between the append commit and the marker create
+    duplicated the batch on rerun.  Simulate both crash points of the
+    stage->mark->publish rewrite and assert MULTISET equality (a set
+    compare would hide exactly the duplication being tested)."""
+    from sherlog_parser_spark.streaming.pipeline import compact_stream_output
+
+    src, tdict, root = stream_setup
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=2)
+    out = f"{root}/routed_crash"
+    q = start_stream_route(stream, tdict.df, out, f"{root}/ckpt_crash")
+    q.awaitTermination(180)
+
+    batch_ids = sorted(
+        int(r["batch_id"]) for r in spark.read.parquet(out).select("batch_id").distinct().collect()
+    )
+    assert len(batch_ids) >= 3, "fixture must produce >= 3 micro-batches"
+    b_a, b_b = batch_ids[0], batch_ids[1]
+    compacted_dir = f"{root}/routed_crash_compacted"
+
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path
+    fs = hp(out).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _stage(bid):
+        (
+            spark.read.parquet(f"{out}/batch_id={bid}")
+            .write.mode("overwrite")
+            .partitionBy("template_id", "tool", "conv_bucket")
+            .parquet(f"{compacted_dir}/_staging_batch_id={bid}")
+        )
+
+    # crash point 1: batch b_a fully staged, marker NOT yet created
+    _stage(b_a)
+    # crash point 2: batch b_b staged AND marked, publish never started
+    _stage(b_b)
+    fs.mkdirs(hp(compacted_dir, "_compacted"))
+    fs.create(hp(f"{compacted_dir}/_compacted/batch_id={b_b}"), True).close()
+
+    done = compact_stream_output(spark, out, compacted_dir, up_to_batch_id=batch_ids[-1] - 1)
+    assert done == batch_ids[:-1]
+    assert compact_stream_output(spark, out, compacted_dir, up_to_batch_id=batch_ids[-1] - 1) == []
+
+    key = ["conv_id", "turn_idx", "template_id", "tool"]
+
+    def _multiset(df):
+        return {
+            tuple(r)[:-1]: r["n"]
+            for r in df.groupBy(*key).agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+
+    got = _multiset(spark.read.parquet(compacted_dir))
+    tail = _multiset(spark.read.parquet(out))
+    batch = enrich_stage(parse_stage(spark.read.parquet(src)), tdict.df, with_params=False)
+    expected = _multiset(batch)
+    merged = dict(got)
+    for k, v in tail.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == expected
+    # no staging leftovers
+    names = [s.getPath().getName() for s in fs.listStatus(hp(compacted_dir))]
+    assert not any(n.startswith("_staging_") for n in names), names
+
+
 def test_stateful_sessionization(spark, stream_setup):
     """applyInPandasWithState conversation sessions: running summaries must
     reach the batch per-conversation totals."""
