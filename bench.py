@@ -61,6 +61,8 @@ HEADLINE = [
     "crossdoc_repeated_ngrams",
     "unicode_nfc",
     "decontaminate",
+    # r4: substring-dedup cut + the composed curation chain
+    "substring_dedup_apply",
 ]
 
 
@@ -81,6 +83,24 @@ def bench_headline(timings: dict) -> None:
             t0 = time.time()
             _noop(qs[name](spark, SF_DIR))
             timings[name] = round(time.time() - t0, 3)
+
+        # composed curation pipeline (r4 judge item #8): NFC-less default
+        # chain exact-dedup -> minhash -> substring cuts -> quality -> PII
+        # -> decontaminate over the documents table, checkpointed sink
+        from pyspark.sql import functions as F
+
+        from sherlog_parser_spark.plans.curation import run_curation_pipeline
+
+        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        bench_docs = docs.filter(F.col("doc_id") % 50 == 0)
+        train = docs.filter(F.col("doc_id") % 50 != 0)
+        shm = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+        cur_out = f"{shm}/sherlog_bench_curation"
+        shutil.rmtree(cur_out, ignore_errors=True)
+        t0 = time.time()
+        run_curation_pipeline(spark, train, cur_out, bench_docs=bench_docs, resume=False)
+        timings["pipeline_curation"] = round(time.time() - t0, 3)
+        shutil.rmtree(cur_out, ignore_errors=True)
     finally:
         spark.stop()
 

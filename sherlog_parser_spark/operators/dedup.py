@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sherlog_parser_spark.functions.textstats import word_shingles_expr
+from sherlog_parser_spark.functions.textstats import _tokens, word_shingles_expr
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -107,6 +107,112 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
     return out
+
+
+def repeated_ngram_span_positions(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(id, pos) token positions of word n-grams that occur in
+    >= ``min_docs`` distinct documents — the detection half of
+    substring-level dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"; reference analog: the cross-doc
+    template-frequency signal of src/core/pipeline.py).
+
+    Shape: posexplode -> hash groupBy -> equi-join back on the repeated
+    set.  No broadcast hint: at corpus scale the repeated-shingle set is
+    data-sized; AQE broadcasts when it genuinely fits.  md5 for oracle
+    replay (xxhash64 at scale — module docstring)."""
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(word_shingles_expr(text_col, n)).alias("pos", "_s"),
+        )
+        .withColumn("_h", F.md5("_s"))
+        .drop("_s")
+    )
+    rep = (
+        sh.groupBy("_h")
+        .agg(F.count_distinct("id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_h")
+    )
+    return sh.join(rep, "_h").select("id", "pos")
+
+
+def substring_dedup_cut(
+    df: DataFrame,
+    spans: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-dedup CUT: remove cross-document repeated n-gram spans
+    from each document's text (Lee et al. 2022 semantics — the stage
+    that consumes what ``repeated_ngram_span_positions`` detects).
+
+    Per document: the union of token index ranges [pos, pos + n - 1]
+    over its spans is the covered set — overlapping and adjacent spans
+    merge for free in set space; covered tokens are dropped and the
+    survivors rejoined with single spaces.
+
+    ``spans`` is any (id_col/"id", pos) frame (e.g. a previous
+    detection pass); when None the spans are derived here with
+    ``min_docs``.
+
+    Plan shape: spans aggregate to ONE small array per affected doc
+    (bounded by tokens-per-doc, never corpus size), LEFT-joined back so
+    untouched documents pass through with zero cuts; the per-row mask is
+    pure JVM HOFs over arrays BOUND AS ATTRIBUTES first (an outer
+    expression tree referenced inside a lambda re-evaluates per element
+    — the measured O(len^2) trap, functions/textstats.py:96).
+
+    Returns (id, cleaned_text, n_cut_tokens, n_cut_chars, n_spans) where
+    n_spans counts the MERGED maximal runs actually cut."""
+    if spans is None:
+        spans = repeated_ngram_span_positions(df, text_col, id_col, n, min_docs)
+    pos_col = "pos"
+    sid = "id" if "id" in spans.columns else id_col
+    per_doc = spans.groupBy(F.col(sid).alias("id")).agg(
+        F.collect_set(pos_col).alias("_ps")
+    )
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
+    joined = base.join(per_doc, "id", "left")
+    covered = F.when(
+        F.col("_ps").isNull(), F.array().cast("array<int>")
+    ).otherwise(
+        F.array_sort(
+            F.array_distinct(
+                F.flatten(
+                    F.transform("_ps", lambda p: F.sequence(p, p + F.lit(n - 1)))
+                )
+            )
+        )
+    )
+    bound = joined.withColumn("_toks", _tokens("_text")).withColumn("_cov", covered)
+    kept = F.filter(
+        F.col("_toks"), lambda t, i: ~F.array_contains(F.col("_cov"), i.cast("int"))
+    )
+    cov = F.col("_cov")
+    # run starts in the sorted covered set = number of merged spans
+    prev = F.concat(
+        F.array(F.lit(-2)), F.slice(cov, 1, F.greatest(F.size(cov) - 1, F.lit(0)))
+    )
+    n_spans = F.size(F.filter(F.zip_with(cov, prev, lambda a, b: a != b + 1), lambda x: x))
+    out = bound.withColumn("_kept", kept).select(
+        "id",
+        F.array_join("_kept", " ").alias("cleaned_text"),
+        F.size(cov).alias("n_cut_tokens"),
+        (
+            F.length(F.array_join("_toks", " ")) - F.length(F.array_join("_kept", " "))
+        ).alias("n_cut_chars"),
+        n_spans.alias("n_spans"),
+    )
+    return out.withColumnRenamed("id", id_col)
 
 
 def minhash_signature(

@@ -1,0 +1,329 @@
+"""Training-data curation pipeline — the document-side sibling of the
+parse pipeline (plans/pipeline.py), composing the curation operators
+into ONE DAG with the same checkpointed-commit-group write discipline:
+
+    scan documents
+      → unicode NFC normalize      (Arrow-batched pandas UDF, optional)
+      → exact dedup                (one shuffle on md5(text), min-id wins)
+      → MinHash near-dedup         (banded LSH candidates → connected
+                                    components → min-id representative)
+      → substring cuts             (cross-doc repeated n-gram spans
+                                    merged + removed, Lee et al. 2022)
+      → quality filter             (Gopher-style first-failing-rule)
+      → PII redaction              (ordered regexp_replace chain)
+      → decontamination            (broadcast benchmark shingle set)
+      → bucketed, checkpointed parquet sink + per-doc fate ledger
+
+Every stage is an existing tested operator (operators/dedup.py,
+operators/components.py, functions/textstats.py, functions/pii.py);
+this module contributes the composition, the drop-ledger, and the
+resume machinery.  Reference lifecycle analog: the data-prep half of
+LogProcessingPipeline.process_dataset (src/core/pipeline.py:52-130) —
+its clean → dedup → filter loop over batches becomes a declarative DAG
+over partitions.
+
+Scale shape: the only data-sized shuffles are the dedup groupBys / the
+shingle explodes inside the span detection — each individually
+100-TB-shaped (see the operator docstrings).  The benchmark shingle set
+is the one genuinely small side and is broadcast.  The ledger is one
+row per input document with its fate; fate counts come from one
+aggregation of the ledger, not per-stage count() jobs.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from sherlog_parser_spark.checkpoint import CheckpointManifest
+from sherlog_parser_spark.functions import pii as PII
+from sherlog_parser_spark.functions import textstats as TS
+from sherlog_parser_spark.operators.components import connected_components
+from sherlog_parser_spark.operators.dedup import (
+    minhash_dup_candidates,
+    substring_dedup_cut,
+)
+
+_log = logging.getLogger(__name__)
+
+
+def with_quality_reason(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "_reason",
+    min_tokens: int = 10,
+    max_dup_5gram_x1e4: int = 5000,
+    max_top_2gram_char_x1e4: int = 1500,
+) -> DataFrame:
+    """Adds a Gopher-style first-failing-rule reason column:
+    'too_short' | 'rep_5gram' | 'top_2gram' | 'keep'.  Thresholds
+    compare fixed-point ints (house float rule).  A DataFrame transform
+    (not a bare expression) because the shingle arrays MUST be bound as
+    attributes before the HOF-heavy stats — an interpreted HOF lambda
+    referencing an outer expression tree re-evaluates it per element
+    (functions/textstats.py module note)."""
+    bound = df.withColumn("_q_sh2", TS.word_shingles_expr(text_col, 2)).withColumn(
+        "_q_sh5", TS.word_shingles_expr(text_col, 5)
+    )
+
+    def x1e4(c):
+        return F.floor(c * 10000 + F.lit(0.5)).cast("long")
+
+    reason = (
+        F.when(TS.ws_token_count_expr(text_col) < min_tokens, "too_short")
+        .when(x1e4(TS.dup_frac_expr("_q_sh5")) >= max_dup_5gram_x1e4, "rep_5gram")
+        .when(
+            x1e4(TS.top_ngram_char_frac_expr("_q_sh2", text_col))
+            >= max_top_2gram_char_x1e4,
+            "top_2gram",
+        )
+        .otherwise("keep")
+    )
+    return bound.withColumn(out_col, reason).drop("_q_sh2", "_q_sh5")
+
+
+def curation_dag(
+    docs: DataFrame,
+    bench_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    nfc: bool = False,
+    ngram: int = 4,
+    span_min_docs: int = 2,
+    minhash_k: int = 8,
+    minhash_bands: int = 4,
+    min_tokens: int = 10,
+    quality_kwargs: dict | None = None,
+    persist_intermediates: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the curation DAG.  Returns ``(cleaned, ledger)``:
+
+    * ``cleaned`` — (doc_id, text) survivors, substring-cut and
+      PII-redacted;
+    * ``ledger`` — one row per INPUT doc: (doc_id, fate) where fate is
+      'kept' | 'exact_dup' | 'near_dup' | 'quality:<reason>' |
+      'contaminated'.
+
+    ``bench_docs`` (optional): frame with ``text_col`` whose n-gram
+    shingles define the decontamination blocklist (broadcast — real
+    eval suites are MBs)."""
+    from pyspark import StorageLevel
+
+    def _reuse(frame: DataFrame) -> DataFrame:
+        """Cache frames consumed by BOTH the cleaned branch and the fate
+        ledger — without this the ledger's fate counts re-run the whole
+        upstream DAG (including the iterative CC job).  MEMORY_AND_DISK,
+        same spill discipline as run_pipeline's persist_parsed; the
+        persisted frames are id-sets / survivor rows, never wider than
+        the input."""
+        return frame.persist(StorageLevel.MEMORY_AND_DISK) if persist_intermediates else frame
+
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    if nfc:
+        nfc_udf = TS.make_nfc_normalize_udf()
+        base = base.select("doc_id", nfc_udf("text").alias("text"))
+
+    # exact dedup: min-id winner per md5(text)
+    winners = _reuse(
+        base.select(F.md5("text").alias("_h"), "doc_id")
+        .groupBy("_h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s1 = base.join(winners, "doc_id", "left_semi")
+
+    # MinHash near-dedup: banded candidates → components → min-id rep
+    pairs = minhash_dup_candidates(s1, "text", "doc_id", n=3, k=minhash_k, bands=minhash_bands)
+    comps = connected_components(pairs)
+    near_losers = _reuse(
+        comps.filter(F.col("id") != F.col("component")).select(F.col("id").alias("doc_id"))
+    )
+    s2 = s1.join(near_losers, "doc_id", "left_anti")
+
+    # substring cuts (cross-doc repeated n-grams among survivors)
+    cut = substring_dedup_cut(s2, n=ngram, min_docs=span_min_docs)
+    s3 = cut.select("doc_id", F.col("cleaned_text").alias("text"))
+
+    # quality filter on the CUT text (a fully-cut doc fails too_short)
+    s3q = _reuse(
+        with_quality_reason(s3, "text", min_tokens=min_tokens, **(quality_kwargs or {}))
+    )
+    quality_losers = s3q.filter(F.col("_reason") != "keep").select("doc_id", "_reason")
+    s4 = s3q.filter(F.col("_reason") == "keep").drop("_reason")
+
+    # PII redaction (pure JVM regexp chain)
+    s5 = s4.select("doc_id", PII.redact_pii_expr("text").alias("text"))
+
+    # decontamination vs the benchmark shingle blocklist
+    if bench_docs is not None:
+        bench_sh = (
+            bench_docs.select(
+                F.explode(TS.word_shingles_expr(text_col, ngram)).alias("_s")
+            )
+            .select(F.md5("_s").alias("_h"))
+            .distinct()
+        )
+        doc_sh = s5.select(
+            "doc_id", F.explode(TS.word_shingles_expr("text", ngram)).alias("_s")
+        ).select("doc_id", F.md5("_s").alias("_h"))
+        contaminated = _reuse(
+            doc_sh.join(F.broadcast(bench_sh), "_h").select("doc_id").distinct()
+        )
+        s6 = s5.join(contaminated, "doc_id", "left_anti")
+    else:
+        contaminated = None
+        s6 = s5
+
+    # fate ledger: one row per input doc, first-applicable fate
+    all_ids = base.select("doc_id")
+    exact_losers = all_ids.join(winners, "doc_id", "left_anti").select(
+        "doc_id", F.lit("exact_dup").alias("fate")
+    )
+    ledger = exact_losers.unionByName(
+        near_losers.select("doc_id", F.lit("near_dup").alias("fate"))
+    ).unionByName(
+        quality_losers.select(
+            "doc_id", F.concat(F.lit("quality:"), F.col("_reason")).alias("fate")
+        )
+    )
+    if contaminated is not None:
+        ledger = ledger.unionByName(
+            contaminated.select("doc_id", F.lit("contaminated").alias("fate"))
+        )
+    kept = s6.select("doc_id", F.lit("kept").alias("fate"))
+    ledger = ledger.unionByName(kept)
+    return s6, ledger
+
+
+@dataclass
+class CurationResult:
+    cleaned_dir: str
+    manifest_path: str
+    n_rows: int
+    fate_counts: dict
+    wall_sec: float
+
+
+def run_curation_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    bench_docs: DataFrame | None = None,
+    n_buckets: int = 8,
+    commit_groups: int = 4,
+    resume: bool = True,
+    persist_cleaned: bool = True,
+    **dag_kwargs,
+) -> CurationResult:
+    """Run the curation DAG with the parse pipeline's commit discipline:
+    the cleaned sink is written in ``commit_groups`` disjoint
+    doc-bucket groups under dynamic partition overwrite, each group
+    idempotent, with (rows, bit_xor fingerprint) observed ON the write
+    job (no extra pass); a killed run resumes by skipping committed
+    groups (checkpoint.CheckpointManifest, fingerprint-validated like
+    plans/pipeline.run_pipeline)."""
+    import shutil
+
+    from sherlog_parser_spark.plans.pipeline import _run_fingerprint
+
+    t_start = time.time()
+    cleaned_dir = os.path.join(out_dir, "cleaned")
+    manifest_path = os.path.join(out_dir, "_manifest.jsonl")
+    run_fp = _run_fingerprint(
+        docs,
+        {"kind": "curation", "n_buckets": n_buckets, "commit_groups": commit_groups,
+         **{k: str(v) for k, v in dag_kwargs.items()}},
+    )
+    if resume:
+        manifest = CheckpointManifest.load(manifest_path)
+        stored_fp = manifest.run_fingerprint()
+        if (manifest.entries or stored_fp is not None) and stored_fp != run_fp:
+            _log.warning(
+                "curation manifest at %s from a different input/config "
+                "(%s != %s); discarding sink and manifest",
+                manifest_path, stored_fp, run_fp,
+            )
+            shutil.rmtree(cleaned_dir, ignore_errors=True)
+            if os.path.exists(manifest_path):
+                os.remove(manifest_path)
+            manifest = CheckpointManifest(manifest_path)
+    else:
+        shutil.rmtree(cleaned_dir, ignore_errors=True)
+        if os.path.exists(manifest_path):
+            os.remove(manifest_path)
+        manifest = CheckpointManifest(manifest_path)
+    if manifest.run_fingerprint() is None:
+        manifest.commit_run(run_fp)
+
+    cleaned, ledger = curation_dag(docs, bench_docs=bench_docs, **dag_kwargs)
+    bucketed = cleaned.withColumn(
+        "doc_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets))
+    )
+    if persist_cleaned:
+        # the DAG above this point includes the iterative CC job and two
+        # shingle explodes; persisting the survivors turns per-group
+        # recomputation of the whole chain into one pass
+        from pyspark import StorageLevel
+
+        bucketed = bucketed.persist(StorageLevel.MEMORY_AND_DISK)
+
+    total_rows = 0
+    for g in range(commit_groups):
+        unit = f"bucket_group={g}"
+        if manifest.is_committed(unit):
+            total_rows += manifest.entries[unit]["rows"]
+            continue
+        t0 = time.time()
+        obs = Observation(f"curate_g{g}")
+        sub = bucketed.filter(
+            F.pmod(F.col("doc_bucket"), F.lit(commit_groups)) == g
+        ).observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.bit_xor(F.xxhash64("doc_id", "text")).alias("fp"),
+        )
+        (
+            sub.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .option("parquet.enable.dictionary", "false")
+            .partitionBy("doc_bucket")
+            .parquet(cleaned_dir)
+        )
+        rows = int(obs.get["rows"])
+        total_rows += rows
+        manifest.commit(unit, rows, str(obs.get["fp"]), cleaned_dir, time.time() - t0)
+
+    fate_counts = {
+        r["fate"]: r["n"]
+        for r in ledger.groupBy("fate").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if persist_cleaned:
+        bucketed.unpersist()
+    wall = time.time() - t_start
+    with open(os.path.join(out_dir, "curation_metrics.json"), "w") as f:
+        json.dump(
+            {
+                "rows_kept": total_rows,
+                "fates": fate_counts,
+                "wall_sec": round(wall, 3),
+                "docs_per_sec": round(sum(fate_counts.values()) / wall, 1)
+                if wall > 0
+                else None,
+                "manifest": manifest.metrics(),
+            },
+            f,
+            indent=2,
+        )
+    return CurationResult(
+        cleaned_dir=cleaned_dir,
+        manifest_path=manifest_path,
+        n_rows=total_rows,
+        fate_counts=fate_counts,
+        wall_sec=wall,
+    )

