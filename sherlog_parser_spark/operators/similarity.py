@@ -41,6 +41,45 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def sq_dist_expr(a: Column, b: Column) -> Column:
+    """Squared euclidean distance, left-assoc fold (bit-identical to the
+    DuckDB oracle's explicit + chain)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse assignment with INJECTED centers: adds ``list_id`` =
+    index of the nearest centroid (squared-euclid, first-min tie-break).
+    One narrow map over centroid literals — no shuffle, no model object
+    — so the assignment is SQL-replayable: pair with deterministic
+    centers (e.g. fixed sample vectors) for the oracle-checked path,
+    or with ``ivf_index``'s trained KMeans centers at scale (the two
+    share ``ivf_ann_topk`` for probing).  The distance array is bound
+    as an attribute before argmin so the 16x64 folds evaluate once."""
+    v = F.col(vec_col)
+    dists = F.array(
+        *[sq_dist_expr(v, F.array(*[F.lit(float(x)) for x in c])) for c in centroids]
+    )
+    bound = emb.withColumn("_d", dists)
+    return bound.withColumn(
+        "list_id", (F.array_position(F.col("_d"), F.array_min("_d")) - 1).cast("int")
+    ).drop("_d")
+
+
 def brute_force_topk(
     emb: DataFrame,
     query_vec: list[float],

@@ -148,6 +148,35 @@ def test_ivf_ann(spark, embeddings):
     assert len(set(few) & {v for v, _ in exact}) >= 1  # query's own list is probed
 
 
+def test_ivf_assign_full_probe_equals_brute(spark, embeddings):
+    """r4: the oracle-replayable expression quantizer (ivf_assign with
+    injected centers) feeds the same probe path — full probe over it is
+    exact, and every vector lands in exactly one list."""
+    from sherlog_parser_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_ann_topk,
+        ivf_assign,
+    )
+
+    qv = embeddings.filter(F.col("vec_id") == 3).select("embedding").collect()[0][0]
+    crows = {
+        r["vec_id"]: list(map(float, r["embedding"]))
+        for r in embeddings.filter(F.col("vec_id").between(4, 11)).collect()
+    }
+    centroids = [crows[i] for i in range(4, 12)]
+    assigned = ivf_assign(embeddings, centroids)
+    assert assigned.filter(
+        (F.col("list_id") < 0) | (F.col("list_id") >= 8)
+    ).count() == 0
+    assert assigned.count() == embeddings.count()
+    exact = [(r["vec_id"], r["cos"]) for r in brute_force_topk(embeddings, qv, k=10, exclude_id=3).collect()]
+    full_probe = [
+        (r["vec_id"], r["cos"])
+        for r in ivf_ann_topk(assigned, centroids, qv, k=10, n_probe=8, exclude_id=3).collect()
+    ]
+    assert full_probe == exact
+
+
 def test_real_wav_decode():
     """decode_media parses a genuine stdlib-written PCM WAV: sample rate,
     channels, and a 16-bin amplitude envelope."""
