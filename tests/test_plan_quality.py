@@ -163,6 +163,25 @@ def test_ngram_jaccard_sizes_join_not_broadcast_hinted(spark):
             assert "n_sh" not in child, f"sizes table is broadcast-hinted:\n{logical}"
 
 
+def test_substring_dedup_cut_plan_shape(spark):
+    """r4: the cut operator must stay window-free and equi-join-only —
+    the per-doc span aggregate joins BACK on doc_id (no cartesian), and
+    no hint forces the data-sized span table to broadcast."""
+    from sherlog_parser_spark.operators.dedup import substring_dedup_cut
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i} epsilon zeta") for i in range(30)],
+        "doc_id INT, text STRING",
+    )
+    out = substring_dedup_cut(docs, n=4, min_docs=2)
+    plan = _plan(out)
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    logical = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical, logical
+
+
 def test_dedup_scale_paths_have_no_cartesian(spark):
     """r2 scale paths: candidate generation must be key-equi-joins —
     never CartesianProduct / BroadcastNestedLoopJoin."""
