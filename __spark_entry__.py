@@ -662,6 +662,28 @@ def q_substring_dedup_apply(spark, sf_dir):
     return DD.substring_dedup_cut(docs, n=4, min_docs=2).orderBy("doc_id")
 
 
+def q_curation_ledger(spark, sf_dir):
+    """END-TO-END curation-chain oracle (r4): the full plans/curation.py
+    DAG — exact dedup → minhash near-dedup (banded LSH + connected
+    components) → substring cuts → Gopher quality filter → PII redaction
+    → benchmark decontamination — replayed per document as (doc_id,
+    fate, cleaned_md5).  Every stage reuses an individually-oracled
+    fragment; this query proves the COMPOSITION: fate priority, survivor
+    sets, and the final redacted-cut text bytes (md5)."""
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    from sherlog_parser_spark.plans.curation import curation_dag
+
+    cleaned, ledger = curation_dag(train, bench_docs=bench)
+    out = ledger.join(
+        cleaned.select("doc_id", F.md5("text").alias("cleaned_md5")), "doc_id", "left"
+    )
+    return out.select(
+        "doc_id", "fate", F.coalesce("cleaned_md5", F.lit("")).alias("cleaned_md5")
+    ).orderBy("doc_id")
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (GPT-3 appendix C / Dolma style): flag
     training docs sharing any 4-gram with the held-out benchmark set
@@ -766,6 +788,92 @@ _SHINGLES3 = (
 _MINHASH_SIG = "[" + ", ".join(
     f"list_min(list_transform(shingles, s -> md5('mh{i}|' || s)))" for i in range(8)
 ) + "]"
+
+def _curation_ledger_sql() -> str:
+    """Composite SQL replay of the whole curation chain (see
+    q_curation_ledger).  Assembled from the same fragments the per-stage
+    oracles use: _SHINGLES3/_MINHASH_SIG + recursive-CTE components
+    (dedup_keep_docs), the substring-cut list replay
+    (substring_dedup_apply), dd_dup_frac/dd_top_ngram_char_frac fixed-
+    point quality rules (quality_filter), dd_redact_pii (pii_redaction)
+    and the broadcast-shingle containment (decontaminate)."""
+    sh4 = TS.dd_word_shingles("tk", 4)
+    pos_unnest = (
+        "unnest(list_transform(range(1, len(sh4) + 1), "
+        "i -> {'pos': i - 1, 's': sh4[i]})) AS r(u)"
+    )
+    return (
+        "WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0), "
+        "benchd AS (SELECT text FROM documents WHERE doc_id % 50 = 0), "
+        # exact dedup: min-id winner per md5(text)
+        "win AS (SELECT min(doc_id) AS doc_id FROM train GROUP BY md5(text)), "
+        "s1 AS (SELECT t.doc_id, t.text FROM train t JOIN win USING (doc_id)), "
+        # minhash near-dedup over exact survivors (n=3, k=8, bands=4)
+        f"toks AS (SELECT doc_id, {_TOKS} AS tk, text FROM s1), "
+        f"sh AS (SELECT doc_id, {_SHINGLES3} AS shingles FROM toks), "
+        f"sig AS (SELECT doc_id, {_MINHASH_SIG} AS sig FROM sh), "
+        "bands AS ("
+        "  SELECT doc_id, 0 AS band, md5(sig[1] || '|' || sig[2]) AS bucket FROM sig "
+        "  UNION ALL SELECT doc_id, 1, md5(sig[3] || '|' || sig[4]) FROM sig "
+        "  UNION ALL SELECT doc_id, 2, md5(sig[5] || '|' || sig[6]) FROM sig "
+        "  UNION ALL SELECT doc_id, 3, md5(sig[7] || '|' || sig[8]) FROM sig), "
+        "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a "
+        "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id), "
+        "edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs), "
+        "reach AS ("
+        "  WITH RECURSIVE r(id, x) AS ("
+        "    SELECT DISTINCT s, s FROM edges "
+        "    UNION SELECT r.id, e.d FROM r JOIN edges e ON e.s = r.x) "
+        "  SELECT id, min(x) AS component FROM r GROUP BY id), "
+        "nearl AS (SELECT id AS doc_id FROM reach WHERE id <> component), "
+        "s2 AS (SELECT doc_id, text FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM nearl)), "
+        # substring cut among near-dedup survivors (4-grams, >= 2 docs)
+        f"t2 AS (SELECT doc_id, {_TOKS} AS tk FROM s2), "
+        f"g2 AS (SELECT doc_id, tk, {sh4} AS sh4 FROM t2), "
+        f"sp AS (SELECT doc_id, u.pos AS pos, md5(u.s) AS h FROM g2, {pos_unnest}), "
+        "rep AS (SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2), "
+        "ps AS (SELECT doc_id, list_sort(list_distinct(flatten(list_transform("
+        "list(DISTINCT sp.pos), p -> range(p, p + 4))))) AS cov "
+        "FROM sp JOIN rep USING (h) GROUP BY doc_id), "
+        "cut AS (SELECT t2.doc_id, list_filter(list_transform("
+        "range(1, len(t2.tk) + 1), i -> CASE WHEN "
+        "list_contains(coalesce(ps.cov, []), i - 1) THEN NULL ELSE t2.tk[i] END), "
+        "x -> x IS NOT NULL) AS kept FROM t2 LEFT JOIN ps USING (doc_id)), "
+        # quality rules on the CUT text (fixed-point thresholds)
+        "q AS (SELECT doc_id, kept, coalesce(array_to_string(kept, ' '), '') AS ctext, "
+        f"{TS.dd_word_shingles('kept', 2)} AS qsh2, "
+        f"{TS.dd_word_shingles('kept', 5)} AS qsh5 FROM cut), "
+        "qq AS (SELECT doc_id, ctext, CASE "
+        "WHEN len(kept) < 10 THEN 'too_short' "
+        f"WHEN CAST(floor(({TS.dd_dup_frac('qsh5')}) * 10000 + 0.5e0) AS BIGINT) >= 5000 "
+        "THEN 'rep_5gram' "
+        f"WHEN CAST(floor(({TS.dd_top_ngram_char_frac('qsh2', 'ctext')}) * 10000 + 0.5e0) "
+        "AS BIGINT) >= 1500 THEN 'top_2gram' ELSE 'keep' END AS reason FROM q), "
+        "ql AS (SELECT doc_id, reason FROM qq WHERE reason <> 'keep'), "
+        # PII redaction on quality survivors
+        f"s5 AS (SELECT doc_id, {PII.dd_redact_pii('ctext')} AS rtext FROM qq "
+        "WHERE reason = 'keep'), "
+        # decontamination: 4-gram shingles of the REDACTED text vs the
+        # benchmark set's raw-text shingles
+        f"tb AS (SELECT {_TOKS} AS tk FROM benchd), "
+        f"gb AS (SELECT {sh4} AS sh4 FROM tb), "
+        "bsh AS (SELECT DISTINCT md5(u) AS h FROM gb, unnest(sh4) AS r(u)), "
+        f"t5 AS (SELECT doc_id, rtext, {TS.dd_tokens('rtext')} AS tk FROM s5), "
+        f"g5 AS (SELECT doc_id, {sh4} AS sh4 FROM t5), "
+        "s5sh AS (SELECT doc_id, md5(u) AS h FROM g5, unnest(sh4) AS r(u)), "
+        "contam AS (SELECT DISTINCT doc_id FROM s5sh WHERE h IN (SELECT h FROM bsh)), "
+        "keptf AS (SELECT doc_id, md5(rtext) AS cleaned_md5 FROM t5 "
+        "WHERE doc_id NOT IN (SELECT doc_id FROM contam)) "
+        # fate ledger, one row per input doc
+        "SELECT doc_id, 'exact_dup' AS fate, '' AS cleaned_md5 FROM train "
+        "WHERE doc_id NOT IN (SELECT doc_id FROM win) "
+        "UNION ALL SELECT doc_id, 'near_dup', '' FROM nearl "
+        "UNION ALL SELECT doc_id, 'quality:' || reason, '' FROM ql "
+        "UNION ALL SELECT doc_id, 'contaminated', '' FROM contam "
+        "UNION ALL SELECT doc_id, 'kept', cleaned_md5 FROM keptf "
+        "ORDER BY doc_id"
+    )
+
 
 _SIMHASH_BITS = " + ".join(
     f"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> {j}) & 1 = 1)) > len(hs) "
@@ -1157,6 +1265,7 @@ def _oracle_sqls() -> dict[str, str]:
             "ELSE 'keep' END AS reason FROM rep JOIN w USING (doc_id)) "
             "SELECT doc_id, reason, reason = 'keep' AS keep FROM r"
         ),
+        "curation_ledger": _curation_ledger_sql(),
         "anomaly_incidents": _dbscan_incident_sql(windowed=False),
         "anomaly_incidents_windowed": _dbscan_incident_sql(windowed=True),
         "unicode_nfc": (
@@ -1289,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossdoc_repeated_ngrams": q_crossdoc_repeated_ngrams,
         "repeated_ngram_spans": q_repeated_ngram_spans,
         "substring_dedup_apply": q_substring_dedup_apply,
+        "curation_ledger": q_curation_ledger,
         "decontaminate": q_decontaminate,
         "timeseries_count_anomalies": q_timeseries_count_anomalies,
         "anomaly_incidents": q_anomaly_incidents,
