@@ -101,6 +101,7 @@ def curation_dag(
     min_tokens: int = 10,
     quality_kwargs: dict | None = None,
     persist_intermediates: bool = True,
+    persist_registry: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the curation DAG.  Returns ``(cleaned, ledger)``:
 
@@ -121,8 +122,16 @@ def curation_dag(
         upstream DAG (including the iterative CC job).  MEMORY_AND_DISK,
         same spill discipline as run_pipeline's persist_parsed; the
         persisted frames are id-sets / survivor rows, never wider than
-        the input."""
-        return frame.persist(StorageLevel.MEMORY_AND_DISK) if persist_intermediates else frame
+        the input.  Callers that finish all actions pass
+        ``persist_registry`` and unpersist afterwards (run_curation_
+        pipeline does) — otherwise the cached frames would accumulate
+        across runs in one session."""
+        if not persist_intermediates:
+            return frame
+        out = frame.persist(StorageLevel.MEMORY_AND_DISK)
+        if persist_registry is not None:
+            persist_registry.append(out)
+        return out
 
     base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     if nfc:
@@ -261,7 +270,10 @@ def run_curation_pipeline(
     if manifest.run_fingerprint() is None:
         manifest.commit_run(run_fp)
 
-    cleaned, ledger = curation_dag(docs, bench_docs=bench_docs, **dag_kwargs)
+    dag_persists: list = []
+    cleaned, ledger = curation_dag(
+        docs, bench_docs=bench_docs, persist_registry=dag_persists, **dag_kwargs
+    )
     bucketed = cleaned.withColumn(
         "doc_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets))
     )
@@ -305,6 +317,8 @@ def run_curation_pipeline(
     }
     if persist_cleaned:
         bucketed.unpersist()
+    for frame in dag_persists:
+        frame.unpersist()
     wall = time.time() - t_start
     with open(os.path.join(out_dir, "curation_metrics.json"), "w") as f:
         json.dump(
