@@ -98,7 +98,9 @@ def bench_headline(timings: dict) -> None:
         cur_out = f"{shm}/sherlog_bench_curation"
         shutil.rmtree(cur_out, ignore_errors=True)
         t0 = time.time()
-        run_curation_pipeline(spark, train, cur_out, bench_docs=bench_docs, resume=False)
+        run_curation_pipeline(
+            spark, train, cur_out, bench_docs=bench_docs, resume=False, commit_groups=2
+        )
         timings["pipeline_curation"] = round(time.time() - t0, 3)
         shutil.rmtree(cur_out, ignore_errors=True)
     finally:
