@@ -223,3 +223,79 @@ def streaming_count_anomaly_flags(
         .select(F.col("w.start").alias("window_start"), *group_cols, "n")
     )
     return flag_counts_against_baseline(counts, baseline, group_cols, threshold)
+
+
+def streaming_curation(
+    stream: DataFrame,
+    bench_shingle_hashes: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    ngram: int = 4,
+    min_tokens: int = 10,
+    dedup_watermark: str = "1 hour",
+    quality_kwargs: dict | None = None,
+) -> DataFrame:
+    """Streaming subset of the curation chain (plans/curation.py) —
+    the stages that are per-row or bounded-state:
+
+    * EXACT dedup via watermarked ``dropDuplicates`` on md5(text): state
+      holds one hash per distinct doc inside the watermark horizon
+      (streaming-idiomatic rendering of the batch min-id winner; within
+      a horizon the first arrival wins — arrival order replaces id
+      order, documented deviation like the §2.10 watermark note),
+    * quality filter (stateless expressions, same fixed-point rules),
+    * PII redaction (stateless regexp chain),
+    * decontamination against a FROZEN benchmark shingle-hash set
+      (freeze-then-stream broadcast, like the template dictionary and
+      the anomaly count baseline).
+
+    Near-dedup (connected components) and substring cuts are
+    corpus-global by nature and stay batch: run them in the periodic
+    compaction pass, exactly how production curation pipelines split
+    online/offline stages.  Returns the cleaned stream (doc_id, ts,
+    text); pair with ``writeStream``/``foreachBatch``."""
+    from sherlog_parser_spark.functions.pii import redact_pii_expr
+    from sherlog_parser_spark.plans.curation import with_quality_reason
+
+    base = stream.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(text_col).alias("text"),
+    )
+    deduped = (
+        base.withColumn("_h", F.md5("text"))
+        .withWatermark("ts", dedup_watermark)
+        # WithinWatermark variant: plain dropDuplicates keeps every hash
+        # forever; this one evicts state as the watermark passes, which
+        # is the bounded-state contract the docstring claims
+        .dropDuplicatesWithinWatermark(["_h"])
+        .drop("_h")
+    )
+    scored = with_quality_reason(
+        deduped, "text", min_tokens=min_tokens, **(quality_kwargs or {})
+    )
+    kept = scored.filter(F.col("_reason") == "keep").drop("_reason")
+    redacted = kept.select("doc_id", "ts", redact_pii_expr("text").alias("text"))
+    if bench_shingle_hashes is None:
+        return redacted
+    from sherlog_parser_spark.functions.textstats import word_shingles_expr
+
+    doc_sh = redacted.withColumn(
+        "_hs",
+        F.transform(word_shingles_expr("text", ngram), lambda s: F.md5(s)),
+    )
+    # stream-static ANTI joins aren't in Spark's supported matrix; an
+    # inner cross join against the ONE-ROW static frame holding the whole
+    # (genuinely small) blocklist as an array is — then a stateless
+    # arrays_overlap filter drops contaminated docs
+    bench_arr = F.broadcast(
+        bench_shingle_hashes.select(F.col("h")).distinct().agg(
+            F.collect_set("h").alias("_bha")
+        )
+    )
+    return (
+        doc_sh.crossJoin(bench_arr)
+        .filter(~F.arrays_overlap(F.col("_hs"), F.col("_bha")))
+        .drop("_hs", "_bha")
+    )

@@ -290,6 +290,77 @@ def test_streaming_route_crash_replay_no_duplicates(spark, stream_setup, tmp_pat
     assert got == expected
 
 
+def test_streaming_curation_matches_batch_subset(spark, tmp_path):
+    """r4: the streaming curation chain (watermarked exact dedup →
+    quality → PII → frozen-blocklist decontamination) over availableNow
+    must reproduce the batch chain's stateless-subset semantics on a
+    bounded input: same surviving doc ids, same redacted text, no
+    contaminated doc passes."""
+    import datetime as dt
+
+    from sherlog_parser_spark.functions.pii import redact_pii_expr
+    from sherlog_parser_spark.functions.textstats import word_shingles_expr
+    from sherlog_parser_spark.plans.curation import with_quality_reason
+    from sherlog_parser_spark.streaming.pipeline import streaming_curation
+
+    base = dt.datetime(2026, 1, 1)
+    uniq = lambda i, n=14: " ".join(f"s{i}t{j}" for j in range(n))  # noqa: E731
+    rows = [
+        (0, base + dt.timedelta(minutes=0), f"alpha beta gamma {uniq(0)}"),
+        (1, base + dt.timedelta(minutes=1), f"alpha beta gamma {uniq(0)}"),  # exact dup
+        (2, base + dt.timedelta(minutes=2), "short doc"),  # quality drop
+        (3, base + dt.timedelta(minutes=3), f"mail bob@example.com here {uniq(3)}"),
+        (4, base + dt.timedelta(minutes=4), f"blocked benchmark four gram run {uniq(4)}"),
+    ]
+    src = str(tmp_path / "cur_src")
+    spark.createDataFrame(rows, "doc_id INT, ts TIMESTAMP, text STRING").repartition(
+        2
+    ).write.mode("overwrite").parquet(src)
+    bench_sh = (
+        spark.createDataFrame(
+            [("the blocked benchmark four gram run appears here",)], "text STRING"
+        )
+        .select(F.explode(word_shingles_expr("text", 4)).alias("s"))
+        .select(F.md5("s").alias("h"))
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id INT, ts TIMESTAMP, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    qk = {"max_top_2gram_char_x1e4": 6000}  # ~20-token docs: one 2-gram is >15% of chars
+    out = streaming_curation(stream, bench_shingle_hashes=bench_sh, quality_kwargs=qk)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cur_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["doc_id"]: r["text"] for r in spark.sql("SELECT * FROM cur_stream").collect()
+    }
+
+    # docs 0/1 are exact dups: exactly ONE of them survives (streaming
+    # keeps first ARRIVAL, batch keeps min id — both cap the pair to 1)
+    assert len({0, 1} & set(got)) == 1
+    assert 2 not in got  # quality
+    assert 4 not in got  # contaminated
+    assert 3 in got and "<EMAIL>" in got[3] and "bob@example.com" not in got[3]
+
+    # batch replay of the same stateless subset for the deterministic docs
+    batch = spark.createDataFrame(rows, "doc_id INT, ts TIMESTAMP, text STRING")
+    scored = with_quality_reason(batch, "text", **qk).filter(F.col("_reason") == "keep")
+    expected3 = (
+        scored.filter(F.col("doc_id") == 3)
+        .select(redact_pii_expr("text").alias("t"))
+        .collect()[0]["t"]
+    )
+    assert got[3] == expected3
+
+
 def test_streaming_count_anomalies_match_batch(spark, tmp_path):
     """Freeze-then-stream X3 time-series detector: flags produced by the
     streaming query (availableNow) == the batch z-rule on the same data
