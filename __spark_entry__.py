@@ -675,7 +675,10 @@ def q_curation_ledger(spark, sf_dir):
     train = docs.filter(F.col("doc_id") % 50 != 0)
     from sherlog_parser_spark.plans.curation import curation_dag
 
-    cleaned, ledger = curation_dag(train, bench_docs=bench)
+    # persist_intermediates=False: this query runs once per oracle
+    # session; persisting would pin 4 frames per invocation with nobody
+    # left to unpersist them (r4 review)
+    cleaned, ledger = curation_dag(train, bench_docs=bench, persist_intermediates=False)
     out = ledger.join(
         cleaned.select("doc_id", F.md5("text").alias("cleaned_md5")), "doc_id", "left"
     )
@@ -1328,7 +1331,7 @@ def _oracle_sqls() -> dict[str, str]:
             # gives '' — coalesce (fully-covered docs cut to empty text)
             "SELECT doc_id, coalesce(array_to_string(kept, ' '), '') AS cleaned_text, "
             "CAST(len(cov) AS INT) AS n_cut_tokens, "
-            "CAST(length(array_to_string(tk, ' ')) - "
+            "CAST(length(coalesce(array_to_string(tk, ' '), '')) - "
             "length(coalesce(array_to_string(kept, ' '), '')) AS INT) AS n_cut_chars, "
             "CAST(len(list_filter(range(1, len(cov) + 1), "
             "i -> i = 1 OR cov[i] <> cov[i - 1] + 1)) AS INT) AS n_spans "

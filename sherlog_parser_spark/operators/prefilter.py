@@ -166,28 +166,32 @@ def cap_duplicates(
     """X2: per duplicated message keep the first, the last, and a
     deterministic hash-sample of (max_duplicates - 2) middle rows.
 
-    Three-level min-k tournament (no PARTITION BY text window — the hot
+    Dedup-expand min-k tournament (no PARTITION BY text window — the hot
     duplicated key never funnels through one task, and no aggregation
-    buffer ever holds a whole group):
+    buffer ever holds a whole group).  Every grouping key is a
+    DETERMINISTIC function of row content, so shuffle-map retries after
+    a fetch failure reproduce identical bucket assignments (an earlier
+    draft keyed sub-buckets on ``monotonically_increasing_id()``, which
+    changes across task re-attempts and silently corrupted counts on a
+    real cluster):
 
-    * level 0, per (text, input-partition, sub-bucket): row count,
-      min/max row by (order_cols, hash) and the ``max_duplicates``
-      smallest rows by (hash, order_cols).  The sub-bucket is
-      ``xxhash64(monotonically_increasing_id()) % n_leaf_buckets`` — an
-      ENGINE-assigned unique id, so the spread is uniform no matter how
-      the data's own keys tie (a hot text whose rows all share one ts
-      still fans out across all buckets).  Peak leaf state is
-      ~rows-in-partition / n_leaf_buckets, NOT the group size — the r3
-      docstring claimed O(k) while ``collect_list`` buffered the whole
-      per-(text, partition) group before the sort/slice (r3 judge
-      "What's wrong #1"); the sub-bucket level makes the bound real.
-      Bucketing by an arbitrary function is semantics-free: the k
-      smallest of a union equal the k smallest of per-bucket k-minima.
-    * level 1, per (text, input-partition): merge sub-bucket partials —
-      <= n_leaf_buckets k-row arrays per group, bounded by config;
-    * level 2, per text: merge partition partials (<= one k-row array
-      per partition the text appears in — the same bound the r3 version
-      had at its top merge);
+    * level -1, crush fully-identical rows: ``groupBy(ALL columns) →
+      count`` — O(1) aggregation state, map-side combined.  Each
+      distinct row re-expands to at most k copies (only k copies of any
+      row can be among a k-minimum / first / last), the first copy
+      carrying the multiplicity remainder as a weight so totals stay
+      exact.  This is what bounds the pathological case the sub-bucket
+      hash cannot: a hot text whose rows are FULLY identical collapses
+      to <= k rows here instead of flooding one hash bucket.
+    * level 0, per (text, sub-bucket): weighted count, min/max row by
+      (order_cols, hash) and the ``max_duplicates`` smallest rows by
+      (hash, order_cols).  sub-bucket = xxhash64 of the full row + copy
+      index mod ``n_leaf_buckets`` — row-unique after level -1, so leaf
+      state is ~distinct-rows-in-partition / n_leaf_buckets.  Bucketing
+      by any function is semantics-free: the k smallest of a union
+      equal the k smallest of per-bucket k-minima.
+    * level 1, per text: merge <= n_leaf_buckets k-row arrays
+      (config-bounded, partition-count independent);
     * groups with count <= max_duplicates emit all their rows (the
       merged hash-list holds every row by the pigeonhole); over-capped
       groups emit first + last + the k-2 hash-smallest middles, with
@@ -197,8 +201,10 @@ def cap_duplicates(
     The middle sample is keyed on xxhash64(seed, order_cols) of the ROW
     (not its global rank as in r1/r2), so membership is deterministic
     under any partitioning without ever computing a global rank.
-    Columns of map type are unsupported (rows travel inside comparable
-    structs).
+    Cost: the level -1 dedup adds one content-keyed shuffle (<= distinct
+    rows after map-side combine) — the price of retry-safe bounded
+    state, and the same shuffle an exact-dedup stage pays.  Columns of
+    map type are unsupported (rows travel inside comparable structs).
     """
     if max_duplicates < 2:
         raise ValueError("max_duplicates must be >= 2 (first + last are always kept)")
@@ -212,27 +218,34 @@ def cap_duplicates(
     okey = F.struct(*o_fields, h.alias("_h"), row)
     hkey = F.struct(h.alias("_h"), *o_fields, row)
 
+    dedup = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("_c"))
+    copies = F.least(F.col("_c"), F.lit(k))
+    expanded = dedup.select(
+        *cols,
+        "_c",
+        F.posexplode(F.sequence(F.lit(1), copies)).alias("_ci", "_copy"),
+    ).select(
+        *cols,
+        F.when(F.col("_ci") == 0, F.col("_c") - copies + 1)
+        .otherwise(F.lit(1))
+        .alias("_w"),
+        "_ci",
+    )
     sub = F.pmod(
-        F.xxhash64(F.monotonically_increasing_id(), F.lit(seed)), F.lit(n_leaf_buckets)
+        F.xxhash64(F.lit(seed), *[F.col(c) for c in cols], F.col("_ci")),
+        F.lit(n_leaf_buckets),
     )
     leaf = (
-        df.withColumn("_pid", F.spark_partition_id())
-        .withColumn("_sub", sub)
-        .groupBy(text_col, "_pid", "_sub")
+        expanded.withColumn("_sub", sub)
+        .groupBy(text_col, "_sub")
         .agg(
-            F.count(F.lit(1)).alias("_n"),
+            F.sum("_w").alias("_n"),
             F.min(okey).alias("_min"),
             F.max(okey).alias("_max"),
             F.slice(F.array_sort(F.collect_list(hkey)), 1, k).alias("_hs"),
         )
     )
-    partial = leaf.groupBy(text_col, "_pid").agg(
-        F.sum("_n").alias("_n"),
-        F.min("_min").alias("_min"),
-        F.max("_max").alias("_max"),
-        F.slice(F.array_sort(F.flatten(F.collect_list("_hs"))), 1, k).alias("_hs"),
-    )
-    merged = partial.groupBy(text_col).agg(
+    merged = leaf.groupBy(text_col).agg(
         F.sum("_n").alias("_cnt"),
         F.min("_min").alias("_first"),
         F.max("_max").alias("_last"),

@@ -244,9 +244,21 @@ def run_curation_pipeline(
     t_start = time.time()
     cleaned_dir = os.path.join(out_dir, "cleaned")
     manifest_path = os.path.join(out_dir, "_manifest.jsonl")
+    # bench_docs is part of the run identity: resuming with a DIFFERENT
+    # decontamination blocklist would silently mix bucket groups curated
+    # under different rules (r4 review) — normalize its plan the same
+    # way _run_fingerprint normalizes the input's
+    import re as _re
+
+    bench_plan = (
+        _re.sub(r"#\d+", "#", bench_docs._jdf.queryExecution().analyzed().toString())
+        if bench_docs is not None
+        else None
+    )
     run_fp = _run_fingerprint(
         docs,
         {"kind": "curation", "n_buckets": n_buckets, "commit_groups": commit_groups,
+         "bench_plan": bench_plan,
          **{k: str(v) for k, v in dag_kwargs.items()}},
     )
     if resume:

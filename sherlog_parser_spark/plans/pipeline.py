@@ -199,31 +199,39 @@ def run_pipeline(
 
     total_rows = 0
     salt = salt_expr(tdict.hot_template_ids(), salt_buckets)
-    for g in range(commit_groups):
-        unit = f"bucket_group={g}"
-        if manifest.is_committed(unit):
-            total_rows += manifest.entries[unit]["rows"]
-            continue
-        t0 = time.time()
-        obs = Observation(f"route_g{g}")
-        sub = routed.filter(F.pmod(F.col("conv_bucket"), F.lit(commit_groups)) == g).observe(
-            obs, F.count(F.lit(1)).alias("rows"), F.bit_xor(F.xxhash64("conv_id", "turn_idx")).alias("fp")
-        )
-        (
-            sub.repartition(F.col("template_id"), F.col("tool"), F.col("conv_bucket"), salt)
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .option("parquet.enable.dictionary", "false")
-            .partitionBy("template_id", "tool", "conv_bucket")
-            .parquet(routed_dir)
-        )
-        rows = int(obs.get["rows"])
-        fp = str(obs.get["fp"])
-        total_rows += rows
-        manifest.commit(unit, rows, fp, routed_dir, time.time() - t0)
+    try:
+        for g in range(commit_groups):
+            unit = f"bucket_group={g}"
+            if manifest.is_committed(unit):
+                total_rows += manifest.entries[unit]["rows"]
+                continue
+            t0 = time.time()
+            obs = Observation(f"route_g{g}")
+            sub = routed.filter(F.pmod(F.col("conv_bucket"), F.lit(commit_groups)) == g).observe(
+                obs, F.count(F.lit(1)).alias("rows"), F.bit_xor(F.xxhash64("conv_id", "turn_idx")).alias("fp")
+            )
+            (
+                sub.repartition(F.col("template_id"), F.col("tool"), F.col("conv_bucket"), salt)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .option("parquet.enable.dictionary", "false")
+                .partitionBy("template_id", "tool", "conv_bucket")
+                .parquet(routed_dir)
+            )
+            rows = int(obs.get["rows"])
+            fp = str(obs.get["fp"])
+            total_rows += rows
+            manifest.commit(unit, rows, fp, routed_dir, time.time() - t0)
+    finally:
+        # a failing group write must still wait for the aggregates
+        # thread — otherwise the caller's spark.stop() kills its
+        # in-flight jobs mid-write and the original error drowns in
+        # secondary py4j noise (r4 review)
+        if agg_thread is not None:
+            agg_thread.join()
 
     if agg_thread is not None:
-        agg_thread.join()
+        agg_thread.join()  # no-op if the finally above already joined
         if agg_error:
             raise agg_error[0]
     elif write_aggregates:

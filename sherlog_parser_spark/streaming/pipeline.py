@@ -170,7 +170,16 @@ def compact_stream_output(
                     else dest_root
                 )
                 fs.mkdirs(tgt_dir)
-                fs.rename(st.getPath(), jvm.org.apache.hadoop.fs.Path(tgt_dir, nm))
+                tgt = jvm.org.apache.hadoop.fs.Path(tgt_dir, nm)
+                # Hadoop rename reports failure by returning FALSE, not
+                # raising; ignoring it and then deleting staging would
+                # silently lose the batch's rows (r4 review).  The only
+                # benign false: a rerun already moved this exact file.
+                if not fs.rename(st.getPath(), tgt) and not fs.exists(tgt):
+                    raise IOError(
+                        f"compact_stream_output: rename {st.getPath()} -> {tgt} "
+                        "failed; staging left in place for retry"
+                    )
 
     done: list[int] = []
     for status in fs.listStatus(out_path):
