@@ -236,3 +236,60 @@ def test_cap_duplicates_max2_keeps_first_and_last(log_frame):
     assert len(dup) == 2
     assert dup[0]["id"] == all_dup[0]["id"]
     assert dup[-1]["id"] == all_dup[-1]["id"]
+
+
+def test_cap_duplicates_matches_python_selection_mirror(spark):
+    """r4 differential test: the dedup-expand tournament must equal a
+    direct Python replay of the documented selection semantics (first +
+    last + k-2 hash-smallest middles with positional first/last removal
+    over the k-slice), on a random corpus with coarse-ts ties, fully
+    identical rows and hot texts.  Hashes come from Spark (xxhash64 is
+    JVM-defined); the selection logic is mirrored independently."""
+    import datetime as _dt
+    import random
+
+    rng = random.Random(11)
+    t0 = _dt.datetime(2026, 1, 1)
+    rows = []
+    for i in range(800):
+        text = f"m{rng.randint(0, 6)}"  # 7 hot texts
+        ts = t0 + _dt.timedelta(seconds=rng.randint(0, 5))  # heavy ties
+        rows.append((rng.randint(0, 99), text, ts))  # ids collide -> identical rows
+    df = spark.createDataFrame(rows, "id long, text string, ts timestamp").repartition(5)
+    k, seed = 4, 42
+
+    hashed = df.withColumn("_h", F.xxhash64(F.lit(seed), F.col("ts"))).collect()
+    from collections import Counter, defaultdict
+
+    groups = defaultdict(list)
+    for r in hashed:
+        row = (r["id"], r["text"], r["ts"])
+        groups[r["text"]].append(((r["ts"], r["_h"], row), (r["_h"], r["ts"], row), row))
+
+    expected = Counter()
+    for text, members in groups.items():
+        if len(members) <= k:
+            expected.update(m[2] for m in members)
+            continue
+        okeys = sorted(m[0] for m in members)
+        first_row, last_row = okeys[0][2], okeys[-1][2]
+        first_hk = (okeys[0][1], okeys[0][0], first_row)
+        last_hk = (okeys[-1][1], okeys[-1][0], last_row)
+        hs = sorted(m[1] for m in members)[:k]
+        p1 = hs.index(first_hk) if first_hk in hs else None
+        if last_hk in hs:
+            p2 = hs.index(last_hk)
+            if p1 is not None and p2 == p1:
+                rest = hs[p1 + 1 :]
+                p2 = p1 + 1 + rest.index(last_hk) if last_hk in rest else None
+        else:
+            p2 = None
+        middles = [x for j, x in enumerate(hs) if j not in {p1, p2}]
+        kept = [first_hk, last_hk] + middles[: k - 2]
+        expected.update(x[2] for x in kept)
+
+    got = Counter(
+        (r["id"], r["text"], r["ts"])
+        for r in cap_duplicates(df, text_col="text", max_duplicates=k, order_cols=("ts",)).collect()
+    )
+    assert got == expected
