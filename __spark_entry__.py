@@ -662,6 +662,56 @@ def q_substring_dedup_apply(spark, sf_dir):
     return DD.substring_dedup_cut(docs, n=4, min_docs=2).orderBy("doc_id")
 
 
+def q_grok_parse(spark, sf_dir):
+    """S3 grok-format scan with a VALUE oracle (r4): build a
+    deterministic grok-shaped line from events ("<ts> <level>
+    <component> <pid> <content>"), run the positional grok split
+    (sources/readers.grok_parse — regexp_extract on the Java∩RE2
+    pattern), return every extracted field."""
+    from sherlog_parser_spark.sources.readers import grok_parse
+
+    ev = _read(spark, sf_dir, "events")
+    level = F.element_at(
+        F.array(F.lit("INFO"), F.lit("WARN"), F.lit("ERROR"), F.lit("DEBUG")),
+        (F.pmod(F.col("event_id"), F.lit(4)) + 1).cast("int"),
+    )
+    line = F.concat(
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+        F.lit(" "),
+        level,
+        F.lit(" "),
+        F.col("event_type"),
+        F.lit(" "),
+        F.col("user_id").cast("string"),
+        F.lit(" evt k "),
+        F.coalesce(F.get_json_object("props", "$.k"), F.lit("-")),
+        F.lit(" took "),
+        F.floor(F.col("value") * 100).cast("long").cast("string"),
+        F.lit(" ms"),
+    )
+    bound = ev.select("event_id", line.alias("content"))
+    return grok_parse(bound, "content", keep=("event_id",)).orderBy("event_id")
+
+
+def q_small_cluster_flags(spark, sf_dir):
+    """A5/J5 with a VALUE oracle (r4): flag rows whose (event_type,
+    user-bucket) cluster has < 30 members — count + broadcast semi-join
+    back, the reference's small-cluster anomaly signal
+    (src/core/anomaly_incidents.py:169-180 analog)."""
+    ev = _read(spark, sf_dir, "events")
+    clustered = ev.select(
+        "event_id",
+        F.concat(
+            F.col("event_type"),
+            F.lit("|"),
+            F.pmod(F.col("user_id"), F.lit(64)).cast("string"),
+        ).alias("cluster"),
+    )
+    return NUM.small_cluster_flags(clustered, "cluster", min_samples=30).orderBy(
+        "event_id"
+    )
+
+
 def q_curation_ledger(spark, sf_dir):
     """END-TO-END curation-chain oracle (r4): the full plans/curation.py
     DAG — exact dedup → minhash near-dedup (banded LSH + connected
@@ -1268,6 +1318,33 @@ def _oracle_sqls() -> dict[str, str]:
             "ELSE 'keep' END AS reason FROM rep JOIN w USING (doc_id)) "
             "SELECT doc_id, reason, reason = 'keep' AS keep FROM r"
         ),
+        # grok_parse: the same grok-shaped line rebuilt in SQL (strftime
+        # naive UTC == Spark date_format under the pinned-UTC session),
+        # then RE2 regexp_extract per positional group
+        "grok_parse": (
+            "WITH b AS (SELECT event_id, "
+            "strftime(ts, '%Y-%m-%dT%H:%M:%S') || ' ' || "
+            "(['INFO','WARN','ERROR','DEBUG'])[CAST(event_id % 4 AS INT) + 1] || ' ' || "
+            "event_type || ' ' || CAST(user_id AS VARCHAR) || ' evt k ' || "
+            "coalesce(json_extract_string(props, '$.k'), '-') || ' took ' || "
+            "CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR) || ' ms' AS content "
+            "FROM events) "
+            "SELECT event_id, "
+            "regexp_extract(content, '^(\\S+)\\s+(\\S+)\\s+(\\S+)\\s+(\\S+)\\s+(.*)$', 1) AS Timestamp, "
+            "regexp_extract(content, '^(\\S+)\\s+(\\S+)\\s+(\\S+)\\s+(\\S+)\\s+(.*)$', 2) AS Level, "
+            "regexp_extract(content, '^(\\S+)\\s+(\\S+)\\s+(\\S+)\\s+(\\S+)\\s+(.*)$', 3) AS Component, "
+            "regexp_extract(content, '^(\\S+)\\s+(\\S+)\\s+(\\S+)\\s+(\\S+)\\s+(.*)$', 4) AS PID, "
+            "regexp_extract(content, '^(\\S+)\\s+(\\S+)\\s+(\\S+)\\s+(\\S+)\\s+(.*)$', 5) AS Content "
+            "FROM b ORDER BY event_id"
+        ),
+        "small_cluster_flags": (
+            "WITH c AS (SELECT event_id, event_type || '|' || "
+            "CAST(user_id % 64 AS VARCHAR) AS cluster FROM events), "
+            "n AS (SELECT cluster, count(*) AS _n FROM c GROUP BY cluster), "
+            "s AS (SELECT cluster FROM n WHERE _n < 30) "
+            "SELECT c.event_id, c.cluster, (s.cluster IS NOT NULL) AS is_small_cluster "
+            "FROM c LEFT JOIN s USING (cluster) ORDER BY event_id"
+        ),
         "curation_ledger": _curation_ledger_sql(),
         "anomaly_incidents": _dbscan_incident_sql(windowed=False),
         "anomaly_incidents_windowed": _dbscan_incident_sql(windowed=True),
@@ -1401,6 +1478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossdoc_repeated_ngrams": q_crossdoc_repeated_ngrams,
         "repeated_ngram_spans": q_repeated_ngram_spans,
         "substring_dedup_apply": q_substring_dedup_apply,
+        "grok_parse": q_grok_parse,
+        "small_cluster_flags": q_small_cluster_flags,
         "curation_ledger": q_curation_ledger,
         "decontaminate": q_decontaminate,
         "timeseries_count_anomalies": q_timeseries_count_anomalies,

@@ -55,10 +55,17 @@ def read_structured_dataset(spark: SparkSession, path: str) -> DataFrame:
     ).csv(path)
 
 
-def grok_parse(df: DataFrame, content_col: str = "content", pattern: str = GROK_DEFAULT) -> DataFrame:
-    """S3: positional grok-style split into Timestamp/Level/Component/PID/Content."""
+def grok_parse(
+    df: DataFrame,
+    content_col: str = "content",
+    pattern: str = GROK_DEFAULT,
+    keep: tuple = (),
+) -> DataFrame:
+    """S3: positional grok-style split into Timestamp/Level/Component/PID/
+    Content; ``keep`` passes named input columns through (e.g. a row id)."""
     c = F.col(content_col)
     return df.select(
+        *[F.col(k) for k in keep],
         F.regexp_extract(c, pattern, 1).alias("Timestamp"),
         F.regexp_extract(c, pattern, 2).alias("Level"),
         F.regexp_extract(c, pattern, 3).alias("Component"),
