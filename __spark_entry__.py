@@ -712,6 +712,33 @@ def q_small_cluster_flags(spark, sf_dir):
     )
 
 
+def q_stratified_sample_counts(spark, sf_dir):
+    """X1 count contract with a VALUE oracle (r4): per-level kept counts
+    of the stratified sampler are hash-free — priority levels keep all
+    rows, sampled levels keep exactly least(n, max(10, ceil(n·ratio)))
+    (Python-double ceil; the DuckDB side uses e0 literals so both
+    engines ceil the same IEEE product).  Membership stays pinned by the
+    windowed-reference + partition-invariance pytests (xxhash64 has no
+    DuckDB replay)."""
+    from sherlog_parser_spark.operators.prefilter import stratified_level_sample
+
+    ev = _read(spark, sf_dir, "events")
+    lvl = (
+        F.when(F.pmod(F.col("event_id"), F.lit(20)) == 0, "ERROR")
+        .when(F.pmod(F.col("event_id"), F.lit(20)) == 1, "CRITICAL")
+        .when(F.pmod(F.col("event_id"), F.lit(20)) <= 7, "WARNING")
+        .when(F.pmod(F.col("event_id"), F.lit(20)) <= 13, "INFO")
+        .otherwise("DEBUG")
+    )
+    frame = ev.select("event_id", lvl.alias("level"), "ts")
+    out = stratified_level_sample(frame)
+    return (
+        out.groupBy("level")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("level")
+    )
+
+
 def q_curation_ledger(spark, sf_dir):
     """END-TO-END curation-chain oracle (r4): the full plans/curation.py
     DAG — exact dedup → minhash near-dedup (banded LSH + connected
@@ -1337,6 +1364,20 @@ def _oracle_sqls() -> dict[str, str]:
             "regexp_extract(content, '^(\\S+)\\s+(\\S+)\\s+(\\S+)\\s+(\\S+)\\s+(.*)$', 5) AS Content "
             "FROM b ORDER BY event_id"
         ),
+        "stratified_sample_counts": (
+            "WITH f AS (SELECT CASE "
+            "WHEN event_id % 20 = 0 THEN 'ERROR' "
+            "WHEN event_id % 20 = 1 THEN 'CRITICAL' "
+            "WHEN event_id % 20 <= 7 THEN 'WARNING' "
+            "WHEN event_id % 20 <= 13 THEN 'INFO' "
+            "ELSE 'DEBUG' END AS level FROM events), "
+            "n AS (SELECT level, count(*) AS n FROM f GROUP BY level) "
+            "SELECT level, CAST(CASE WHEN level IN ('ERROR', 'CRITICAL') THEN n "
+            "ELSE least(n, greatest(10, CAST(ceil(n * (CASE level "
+            "WHEN 'WARNING' THEN 0.5e0 WHEN 'INFO' THEN 0.1e0 "
+            "ELSE 0.05e0 END)) AS BIGINT))) END AS BIGINT) AS n_kept "
+            "FROM n ORDER BY level"
+        ),
         "small_cluster_flags": (
             "WITH c AS (SELECT event_id, event_type || '|' || "
             "CAST(user_id % 64 AS VARCHAR) AS cluster FROM events), "
@@ -1480,6 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup_apply": q_substring_dedup_apply,
         "grok_parse": q_grok_parse,
         "small_cluster_flags": q_small_cluster_flags,
+        "stratified_sample_counts": q_stratified_sample_counts,
         "curation_ledger": q_curation_ledger,
         "decontaminate": q_decontaminate,
         "timeseries_count_anomalies": q_timeseries_count_anomalies,
