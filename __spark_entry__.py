@@ -739,6 +739,35 @@ def q_stratified_sample_counts(spark, sf_dir):
     )
 
 
+def q_session_stats(spark, sf_dir):
+    """Gap-based sessionization over events (30-min gap per user):
+    lag + running-sum session ids, then per-session aggregates — one
+    window over the high-cardinality user key (no hot funnel), ties
+    broken by event_id.  Batch sibling of the stateful streaming
+    sessionizer (pinned totals==batch in pytest)."""
+    from sherlog_parser_spark.operators.sessions import session_stats
+
+    ev = _read(spark, sf_dir, "events")
+    return (
+        session_stats(
+            ev.select("user_id", "event_id", "ts"),
+            key_cols=("user_id",),
+            ts_col="ts",
+            gap_seconds=1800,
+            tiebreak_cols=("event_id",),
+        )
+        .select(
+            "user_id",
+            F.col("session_idx").cast("long").alias("session_idx"),
+            "n_events",
+            "session_start",
+            "session_end",
+            "duration_sec",
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
 def q_curation_ledger(spark, sf_dir):
     """END-TO-END curation-chain oracle (r4): the full plans/curation.py
     DAG — exact dedup → minhash near-dedup (banded LSH + connected
@@ -1364,6 +1393,24 @@ def _oracle_sqls() -> dict[str, str]:
             "regexp_extract(content, '^(\\S+)\\s+(\\S+)\\s+(\\S+)\\s+(\\S+)\\s+(.*)$', 5) AS Content "
             "FROM b ORDER BY event_id"
         ),
+        # session_stats: identical lag + running-sum construction in
+        # DuckDB window functions; floor(epoch(ts)) because Spark
+        # unix_timestamp FLOORS sub-second timestamps while a bare
+        # double->bigint cast in DuckDB rounds
+        "session_stats": (
+            "WITH s AS (SELECT user_id, event_id, ts, "
+            "CASE WHEN lag(ts) OVER w IS NULL "
+            "OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(lag(ts) OVER w) AS BIGINT) <= 1800 "
+            "THEN 0 ELSE 1 END AS new_sess "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "x AS (SELECT user_id, ts, "
+            "sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM s) "
+            "SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, "
+            "count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end, "
+            "max(CAST(floor(epoch(ts)) AS BIGINT)) - min(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_sec "
+            "FROM x GROUP BY user_id, session_idx ORDER BY user_id, session_idx"
+        ),
         "stratified_sample_counts": (
             "WITH f AS (SELECT CASE "
             "WHEN event_id % 20 = 0 THEN 'ERROR' "
@@ -1522,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grok_parse": q_grok_parse,
         "small_cluster_flags": q_small_cluster_flags,
         "stratified_sample_counts": q_stratified_sample_counts,
+        "session_stats": q_session_stats,
         "curation_ledger": q_curation_ledger,
         "decontaminate": q_decontaminate,
         "timeseries_count_anomalies": q_timeseries_count_anomalies,

@@ -63,3 +63,38 @@ def test_numeric_field_discovery(spark):
     df = spark.createDataFrame(rows, "i int, m map<string,string>")
     out = {r["k"]: r["is_numeric"] for r in numeric_field_discovery(df, "m").collect()}
     assert out == {"lat": True, "name": False}
+
+
+def test_sessionize_gap_splits_and_ties(spark):
+    """r4 batch sessionization: gaps > threshold split sessions; tied
+    timestamps stay in one session and order deterministically by the
+    tiebreak column; duration uses floor-seconds."""
+    import datetime as dt
+
+    from sherlog_parser_spark.operators.sessions import session_stats, sessionize
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        # user 1: 3 events close, 31-min gap, 2 events close (tied ts)
+        (1, 10, t0),
+        (1, 11, t0 + dt.timedelta(minutes=5)),
+        (1, 12, t0 + dt.timedelta(minutes=10)),
+        (1, 13, t0 + dt.timedelta(minutes=41, seconds=1)),
+        (1, 14, t0 + dt.timedelta(minutes=41, seconds=1)),
+        # user 2: single event
+        (2, 20, t0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    s = sessionize(df, ("user_id",), "ts", gap_seconds=1800, tiebreak_cols=("event_id",))
+    got = {
+        (r["user_id"], r["event_id"]): r["session_idx"] for r in s.collect()
+    }
+    assert got == {(1, 10): 0, (1, 11): 0, (1, 12): 0, (1, 13): 1, (1, 14): 1, (2, 20): 0}
+
+    stats = {
+        (r["user_id"], r["session_idx"]): (r["n_events"], r["duration_sec"])
+        for r in session_stats(
+            df, ("user_id",), "ts", 1800, tiebreak_cols=("event_id",)
+        ).collect()
+    }
+    assert stats == {(1, 0): (3, 600), (1, 1): (2, 0), (2, 0): (1, 0)}
