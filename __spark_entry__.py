@@ -1400,7 +1400,8 @@ def _oracle_sqls() -> dict[str, str]:
         "session_stats": (
             "WITH s AS (SELECT user_id, event_id, ts, "
             "CASE WHEN lag(ts) OVER w IS NULL "
-            "OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(lag(ts) OVER w) AS BIGINT) <= 1800 "
+            "OR CAST(floor(epoch(ts)) AS BIGINT) - "
+            "CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) <= 1800 "
             "THEN 0 ELSE 1 END AS new_sess "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
             "x AS (SELECT user_id, ts, "

@@ -27,13 +27,13 @@ from sherlog_parser_spark.plans.pipeline import run_pipeline
 from sherlog_parser_spark.session import get_spark
 
 
-def fingerprint(spark, path):
+def fingerprint(spark, path, cols=("conv_id", "turn_idx", "template_id", "tool", "text")):
     df = spark.read.parquet(path)
     r = df.select(
         F.count(F.lit(1)).alias("n"),
-        F.bit_xor(F.xxhash64("conv_id", "turn_idx", "template_id", "tool", "text")).alias("h"),
+        F.bit_xor(F.xxhash64(*cols)).alias("h"),
     ).collect()[0]
-    return int(r["n"]), int(r["h"])
+    return int(r["n"]), int(r["h"] if r["h"] is not None else 0)
 
 
 def run(master, tag, data):
@@ -51,15 +51,6 @@ def run(master, tag, data):
         spark.stop()
 
 
-def fingerprint_docs(spark, path):
-    df = spark.read.parquet(path)
-    r = df.select(
-        F.count(F.lit(1)).alias("n"),
-        F.bit_xor(F.xxhash64("doc_id", "text")).alias("h"),
-    ).collect()[0]
-    return int(r["n"]), int(r["h"])
-
-
 def run_curation(master, tag, data):
     from sherlog_parser_spark.plans.curation import run_curation_pipeline
 
@@ -75,7 +66,7 @@ def run_curation(master, tag, data):
             spark, train, out, bench_docs=bench, commit_groups=2, resume=False
         )
         wall = time.time() - t0
-        fp = fingerprint_docs(spark, f"{out}/cleaned")
+        fp = fingerprint(spark, f"{out}/cleaned", cols=("doc_id", "text"))
         return wall, fp, res.fate_counts
     finally:
         spark.stop()

@@ -64,7 +64,13 @@ def extract_new_templates(
         parsed.join(known, "sig", "left_anti")
         .groupBy("sig")
         .agg(F.min(F.struct(*order_cols, F.col("text"))).alias("_ex"))
-        .select("sig", F.col("_ex.text").alias("text"))
+        .select(
+            "sig",
+            F.col("_ex.text").alias("text"),
+            F.struct(*[F.col(f"_ex.{c}").alias(c) for c in order_cols]).alias(
+                "_first_seen"
+            ),
+        )
     )
 
     def run_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -73,7 +79,13 @@ def extract_new_templates(
                 out = extractor(b)
                 yield out[["sig", "template"]]
 
-    return unknown.mapInPandas(run_batches, "sig long, template string")
+    extracted = unknown.select("sig", "text").mapInPandas(
+        run_batches, "sig long, template string"
+    )
+    # carry the first-seen key: the pool merge is order-sensitive, so
+    # extend_dictionary must replay insertions in ARRIVAL order, not
+    # sig-hash order (r4 review)
+    return extracted.join(unknown.select("sig", "_first_seen"), "sig")
 
 
 def extend_dictionary(
@@ -85,14 +97,29 @@ def extend_dictionary(
     Extracted templates go through the SAME driver pool merge as the
     heuristic build (similarity >= threshold merges into an existing
     template id — the reference re-checks LLM output against the pool,
-    src/core/parser_service.py:158-170), so ids stay consistent."""
-    rows = new_templates.orderBy("sig").limit(MAX_NEW_SIGS + 1).collect()
+    src/core/parser_service.py:158-170) over a COPY of the frozen pool:
+    the input ``tdict`` is never mutated (r4 review — in-place ``add``
+    aliased the frozen dictionary and made repeated extensions
+    accumulate), and insertions replay in first-seen order when the
+    frame carries ``_first_seen`` (extract_new_templates always does;
+    sig order is the fallback for hand-built frames).
+
+    The returned dictionary's ``counts`` is None: the frozen counts say
+    nothing about rows of the new signatures, and silently reusing them
+    would hide Zipf-head templates from hot_template_ids (r4 review) —
+    recompute from data when salting decisions follow an extension."""
+    from sherlog_parser_spark.oracle.matcher import TemplatePool
+
+    order = ["_first_seen", "sig"] if "_first_seen" in new_templates.columns else ["sig"]
+    rows = new_templates.orderBy(*order).limit(MAX_NEW_SIGS + 1).collect()
     if len(rows) > MAX_NEW_SIGS:
         raise RuntimeError(
             f"LLM extraction returned more than {MAX_NEW_SIGS} new signatures; "
             "refusing unbounded driver merge"
         )
-    pool = tdict.pool
+    pool = TemplatePool(threshold=tdict.pool.threshold)
+    pool.templates = list(tdict.pool.templates)
+    pool._sig_to_id = dict(tdict.pool.mapping())
     for r in rows:
         pool.add(int(r["sig"]), r["template"])
     final = pool.templates
@@ -100,5 +127,5 @@ def extend_dictionary(
     dict_rows = [(int(sig), int(tid), final[tid]) for sig, tid in pool.mapping().items()]
     dict_df = spark.createDataFrame(dict_rows, "sig long, template_id long, template string")
     return TemplateDictionary(
-        df=dict_df, pool=pool, n_sigs=len(dict_rows), counts=tdict.counts
+        df=dict_df, pool=pool, n_sigs=len(dict_rows), counts=None
     )

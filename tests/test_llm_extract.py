@@ -104,3 +104,20 @@ def test_default_extractor_is_heuristic_parity(spark, split_corpus):
         if r["sig"] in extracted
     }
     assert extracted == expected
+
+
+def test_extend_dictionary_does_not_mutate_frozen_input(spark, split_corpus):
+    """r4 review: extend_dictionary must copy the pool — in-place adds
+    aliased the frozen dictionary (dictionary_state(tdict) would drift
+    from tdict.df) and made repeated extensions accumulate."""
+    parsed, tdict = split_corpus
+    before_templates = list(tdict.templates)
+    before_mapping = dict(tdict.pool.mapping())
+    extracted = extract_new_templates(parsed, tdict)
+    full = extend_dictionary(tdict, extracted)
+    assert list(tdict.templates) == before_templates
+    assert dict(tdict.pool.mapping()) == before_mapping
+    assert len(full.pool.mapping()) > len(before_mapping)
+    # counts are honestly dropped (frozen counts say nothing about rows
+    # of the new sigs — stale reuse hid Zipf heads from hot ids)
+    assert full.counts is None
