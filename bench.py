@@ -61,8 +61,9 @@ HEADLINE = [
     "crossdoc_repeated_ngrams",
     "unicode_nfc",
     "decontaminate",
-    # r4: substring-dedup cut + the composed curation chain
+    # r4: substring-dedup cut, sessionization + the composed curation chain
     "substring_dedup_apply",
+    "session_stats",
 ]
 
 
