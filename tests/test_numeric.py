@@ -98,3 +98,54 @@ def test_sessionize_gap_splits_and_ties(spark):
         ).collect()
     }
     assert stats == {(1, 0): (3, 600), (1, 1): (2, 0), (2, 0): (1, 0)}
+
+
+def test_sessionize_subsecond_boundary_matches_duckdb(spark, tmp_path):
+    """r4 review: Spark unix_timestamp FLOORS sub-second timestamps while
+    DuckDB's bare double->bigint cast ROUNDS — the oracle uses
+    floor(epoch()).  Pin the agreement exactly at the boundary: gaps of
+    1800.x seconds between events with sub-second fractions, where a
+    round-vs-floor mismatch flips the session split."""
+    import datetime as dt
+
+    import duckdb
+
+    from sherlog_parser_spark.operators.sessions import session_stats
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0, 600000)  # .6s fraction
+    rows = []
+    eid = 0
+    # chain of gaps straddling the 1800s threshold with fractions that
+    # make floor and round disagree: 1800.7, 1799.6, 1800.2, 1801.1
+    offsets = [0.0, 1800.7, 1799.6, 1800.2, 1801.1]
+    acc = 0.0
+    for off in offsets:
+        acc += off
+        rows.append((1, eid, t0 + dt.timedelta(seconds=acc)))
+        eid += 1
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    p = str(tmp_path / "sess_events")
+    df.write.mode("overwrite").parquet(p)
+
+    got = sorted(
+        (r["user_id"], r["session_idx"], r["n_events"], r["duration_sec"])
+        for r in session_stats(
+            df, ("user_id",), "ts", 1800, tiebreak_cols=("event_id",)
+        ).collect()
+    )
+
+    duck = duckdb.connect()
+    duck.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    import __spark_entry__ as entrymod
+
+    sql = entrymod.oracle_sql()["session_stats"].replace(
+        "ORDER BY user_id, session_idx", "ORDER BY user_id, session_idx"
+    )
+    want = sorted(
+        (r[0], r[1], r[2], r[5])
+        for r in duck.execute(sql).fetchall()
+    )
+    assert got == want, (got, want)
+    # sanity: the fixture actually splits (floor semantics: gaps whose
+    # floored-second diff > 1800 start new sessions)
+    assert len({g[1] for g in got}) >= 2
