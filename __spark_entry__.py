@@ -768,6 +768,24 @@ def q_session_stats(spark, sf_dir):
     )
 
 
+def q_shard_assignment(spark, sf_dir):
+    """Token-budget shard packing over documents (the stage after
+    curation): shard_id = cumulative-tokens-before DIV 2000 in doc_id
+    order, via the boundary-invariant two-phase cumsum (range partition
+    → per-partition window → driver prefix of #partitions totals —
+    never a one-task global window)."""
+    from sherlog_parser_spark.operators.sharding import assign_shards
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", TS.ws_token_count_expr("text").alias("n_tokens")
+    )
+    return (
+        assign_shards(docs, "n_tokens", "doc_id", shard_tokens=2000)
+        .select("doc_id", "n_tokens", "shard_id")
+        .orderBy("doc_id")
+    )
+
+
 def q_curation_ledger(spark, sf_dir):
     """END-TO-END curation-chain oracle (r4): the full plans/curation.py
     DAG — exact dedup → minhash near-dedup (banded LSH + connected
@@ -1393,6 +1411,17 @@ def _oracle_sqls() -> dict[str, str]:
             "regexp_extract(content, '^(\\S+)\\s+(\\S+)\\s+(\\S+)\\s+(\\S+)\\s+(.*)$', 5) AS Content "
             "FROM b ORDER BY event_id"
         ),
+        # shard_assignment: plain ordered cumsum window in DuckDB (fine
+        # at oracle scale); // = integer division like Spark's div
+        "shard_assignment": (
+            f"WITH t AS (SELECT doc_id, {TS.dd_ws_token_count('text')} AS n_tokens "
+            "FROM documents) "
+            "SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, "
+            "CAST((sum(n_tokens) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 2000 "
+            "AS BIGINT) AS shard_id "
+            "FROM t ORDER BY doc_id"
+        ),
         # session_stats: identical lag + running-sum construction in
         # DuckDB window functions; floor(epoch(ts)) because Spark
         # unix_timestamp FLOORS sub-second timestamps while a bare
@@ -1571,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_cluster_flags": q_small_cluster_flags,
         "stratified_sample_counts": q_stratified_sample_counts,
         "session_stats": q_session_stats,
+        "shard_assignment": q_shard_assignment,
         "curation_ledger": q_curation_ledger,
         "decontaminate": q_decontaminate,
         "timeseries_count_anomalies": q_timeseries_count_anomalies,

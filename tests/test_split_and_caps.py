@@ -174,3 +174,40 @@ def test_simhash_banding_lossless_within_bands_minus_one(spark):
     }
     assert banded == exact
     assert exact  # fixture genuinely contains near-dup simhashes
+
+
+def test_assign_shards_deterministic_and_bounded(spark):
+    """r4 shard packing: assignments are partition-invariant (the global
+    cumsum doesn't depend on range boundaries), shard_id is
+    non-decreasing in the order column, and every shard's token total
+    stays under shard_tokens + max doc tokens (a doc never splits)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sherlog_parser_spark.operators.sharding import assign_shards
+
+    rng = random.Random(3)
+    rows = [(i, rng.randint(1, 400)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    a = {
+        r["doc_id"]: r["shard_id"]
+        for r in assign_shards(df.repartition(2), shard_tokens=5000).collect()
+    }
+    b = {
+        r["doc_id"]: r["shard_id"]
+        for r in assign_shards(df.repartition(17), shard_tokens=5000).collect()
+    }
+    assert a == b
+    # non-decreasing in doc_id order, starting at 0
+    ordered = [a[i] for i in range(3000)]
+    assert ordered[0] == 0
+    assert all(x <= y for x, y in zip(ordered, ordered[1:]))
+    # per-shard budget: < shard_tokens + max single doc
+    toks = dict(rows)
+    per_shard: dict[int, int] = {}
+    for i, s in a.items():
+        per_shard[s] = per_shard.get(s, 0) + toks[i]
+    mx = max(toks.values())
+    assert all(v < 5000 + mx for v in per_shard.values())
+    assert len(per_shard) > 10  # actually packed into many shards
