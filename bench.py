@@ -45,7 +45,7 @@ HEADLINE = [
     "param_extract",
     "hourly_counts",
     "group_stats",
-    "zscore_outliers",
+    "numeric_outliers",
     "pricing_summary",
     "region_rollup",
     "minhash_candidates",
@@ -53,9 +53,8 @@ HEADLINE = [
     "simhash",
     "embedding_topk",
     "lsh_ann_topk",
-    "text_stats",
+    "text_stats",  # r5: now includes the former repetition_stats columns
     # r3 curation queries
-    "repetition_stats",
     "pii_redaction",
     "vocab_top_tokens",
     "crossdoc_repeated_ngrams",
