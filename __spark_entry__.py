@@ -820,6 +820,27 @@ def q_shard_assignment(spark, sf_dir):
     )
 
 
+def q_sequence_packing(spark, sf_dir):
+    """Concat-and-chunk sequence packing (r5): documents' tokens laid
+    end-to-end in doc_id order and chunked into 64-token training
+    sequences; one row per (doc × sequence it intersects) with the
+    loader's boundary map (doc_offset / seq_offset / piece_len).  Same
+    boundary-invariant two-phase global cumsum as shard_assignment; the
+    oracle replays it as a plain cumsum window + generate_series."""
+    from sherlog_parser_spark.operators.sharding import pack_sequences
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", TS.ws_token_count_expr("text").alias("n_tokens")
+    )
+    return (
+        pack_sequences(docs, "n_tokens", "doc_id", seq_len=64)
+        .select(
+            "doc_id", "n_tokens", "seq_id", "doc_offset", "seq_offset", "piece_len"
+        )
+        .orderBy("doc_id", "seq_id")
+    )
+
+
 def q_curation_ledger(spark, sf_dir):
     """END-TO-END curation-chain oracle (r4): the full plans/curation.py
     DAG — exact dedup → minhash near-dedup (banded LSH + connected
@@ -1463,6 +1484,25 @@ def _oracle_sqls() -> dict[str, str]:
             "AS BIGINT) AS shard_id "
             "FROM t ORDER BY doc_id"
         ),
+        # sequence_packing: cumsum window -> per-doc lateral
+        # generate_series over the sequences the doc intersects; all
+        # arithmetic integer (// like Spark's div); o cast to BIGINT
+        # because DuckDB window sum(INTEGER) is HUGEINT
+        "sequence_packing": (
+            f"WITH t AS (SELECT doc_id, {TS.dd_ws_token_count('text')} AS n_tokens "
+            "FROM documents), "
+            "c AS (SELECT doc_id, n_tokens, "
+            "CAST(sum(n_tokens) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS o "
+            "FROM t WHERE n_tokens > 0) "
+            "SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, "
+            "CAST(u.q AS BIGINT) AS seq_id, "
+            "CAST(greatest(u.q * 64 - o, 0) AS BIGINT) AS doc_offset, "
+            "CAST(greatest(o - u.q * 64, 0) AS BIGINT) AS seq_offset, "
+            "CAST(least(u.q * 64 + 64, o + n_tokens) - greatest(u.q * 64, o) AS BIGINT) AS piece_len "
+            "FROM c, unnest(generate_series(o // 64, (o + n_tokens - 1) // 64)) AS u(q) "
+            "ORDER BY doc_id, seq_id"
+        ),
         # session_stats: identical lag + running-sum construction in
         # DuckDB window functions; floor(epoch(ts)) because Spark
         # unix_timestamp FLOORS sub-second timestamps while a bare
@@ -1644,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_counts": q_stratified_sample_counts,
         "session_stats": q_session_stats,
         "shard_assignment": q_shard_assignment,
+        "sequence_packing": q_sequence_packing,
         "curation_ledger": q_curation_ledger,
         "decontaminate": q_decontaminate,
         "timeseries_count_anomalies": q_timeseries_count_anomalies,

@@ -190,14 +190,19 @@ def test_assign_shards_deterministic_and_bounded(spark):
     rng = random.Random(3)
     rows = [(i, rng.randint(1, 400)) for i in range(3000)]
     df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
-    a = {
-        r["doc_id"]: r["shard_id"]
-        for r in assign_shards(df.repartition(2), shard_tokens=5000).collect()
-    }
-    b = {
-        r["doc_id"]: r["shard_id"]
-        for r in assign_shards(df.repartition(17), shard_tokens=5000).collect()
-    }
+    sa = assign_shards(df.repartition(2), shard_tokens=5000)
+    # r5 fault-tolerance contract: the output must NOT be checkpointed
+    # (localCheckpoint truncates lineage -> unrecoverable on executor
+    # loss at scale).  A checkpointed output would collapse the whole
+    # plan into one LogicalRDD scan; lineage retention shows up as the
+    # cumsum Window + offset Join still present in the optimized plan.
+    plan = sa._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" in plan and "Join" in plan
+    a = {r["doc_id"]: r["shard_id"] for r in sa.collect()}
+    sa.release()
+    sb = assign_shards(df.repartition(17), shard_tokens=5000)
+    b = {r["doc_id"]: r["shard_id"] for r in sb.collect()}
+    sb.release()
     assert a == b
     # non-decreasing in doc_id order, starting at 0
     ordered = [a[i] for i in range(3000)]
@@ -211,3 +216,50 @@ def test_assign_shards_deterministic_and_bounded(spark):
     mx = max(toks.values())
     assert all(v < 5000 + mx for v in per_shard.values())
     assert len(per_shard) > 10  # actually packed into many shards
+
+
+def test_pack_sequences_differential_and_invariance(spark):
+    """r5 sequence packing vs a sequential Python mirror: the
+    (doc, seq) boundary map must equal laying tokens end-to-end and
+    chunking at seq_len, and be partition-invariant."""
+    import random
+
+    from sherlog_parser_spark.operators.sharding import pack_sequences
+
+    rng = random.Random(11)
+    rows = [(i, rng.choice([0, 1, 3, 17, 120, 513, 2049])) for i in range(800)]
+    L = 512
+    # sequential mirror
+    expected = {}
+    off = 0
+    for i, n in rows:
+        if n == 0:
+            continue
+        for q in range(off // L, (off + n - 1) // L + 1):
+            s = q * L
+            expected[(i, q)] = (
+                max(s - off, 0),            # doc_offset
+                max(off - s, 0),            # seq_offset
+                min(s + L, off + n) - max(s, off),  # piece_len
+            )
+        off += n
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    got_frames = []
+    for parts in (3, 13):
+        p = pack_sequences(df.repartition(parts), seq_len=L)
+        got = {
+            (r["doc_id"], r["seq_id"]): (
+                r["doc_offset"], r["seq_offset"], r["piece_len"],
+            )
+            for r in p.collect()
+        }
+        p.release()
+        got_frames.append(got)
+    assert got_frames[0] == expected
+    assert got_frames[1] == expected
+    # every sequence except possibly the last is exactly full
+    per_seq = {}
+    for (_i, q), (_d, _s, ln) in expected.items():
+        per_seq[q] = per_seq.get(q, 0) + ln
+    last = max(per_seq)
+    assert all(v == L for q, v in per_seq.items() if q != last)
