@@ -205,3 +205,57 @@ def test_spark_substring_cut_equals_python_on_fuzz_corpus(spark):
     assert got == expected
     # sanity: the corpus actually exercised cutting
     assert any(v[1] > 0 for v in expected.values())
+
+
+def test_substring_cut_long_heavily_covered_doc(spark):
+    """r5 (r4 verdict #2): the keep-mask must be linear in doc length,
+    not O(tokens × covered).  Two 16k-token docs sharing ~80% of their
+    positions (the adversarial web-corpus shape) must clean correctly
+    and in bounded wall time — the old per-token array_contains scan
+    cost ~2×10^8 comparisons per row here."""
+    import time
+
+    from sherlog_parser_spark.operators.dedup import substring_dedup_cut
+
+    # 320 blocks of (40 shared + 10 unique-per-doc) tokens = 16k tokens,
+    # exactly 80% of positions inside cross-doc repeated 4-gram spans
+    def mk(doc):
+        toks = []
+        for b in range(320):
+            toks += [f"s{b}_{j}" for j in range(40)]
+            toks += [f"u{doc}_{b}_{j}" for j in range(10)]
+        return toks
+
+    docs = {0: mk(0), 1: mk(1)}
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs.items()], "doc_id INT, text STRING"
+    )
+    n = 4
+
+    def shingles(toks):
+        return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+    sh_docs: dict[str, set[int]] = {}
+    for i, toks in docs.items():
+        for s in shingles(toks):
+            sh_docs.setdefault(s, set()).add(i)
+    repeated = {s for s, d in sh_docs.items() if len(d) >= 2}
+    expected = {}
+    for i, toks in docs.items():
+        cov = set()
+        for p, s in enumerate(shingles(toks)):
+            if s in repeated:
+                cov.update(range(p, p + n))
+        kept = [t for j, t in enumerate(toks) if j not in cov]
+        runs = sum(1 for j in cov if j - 1 not in cov)
+        expected[i] = (" ".join(kept), len(cov), runs)
+        assert len(cov) >= 0.75 * len(toks)  # genuinely heavily covered
+
+    t0 = time.time()
+    got = {
+        r["doc_id"]: (r["cleaned_text"], r["n_cut_tokens"], r["n_spans"])
+        for r in substring_dedup_cut(df, n=n, min_docs=2).collect()
+    }
+    wall = time.time() - t0
+    assert got == expected
+    assert wall < 60, f"substring cut took {wall:.1f}s on 2×16k-token docs"
