@@ -820,6 +820,36 @@ def q_shard_assignment(spark, sf_dir):
     )
 
 
+def q_mixture_sample_counts(spark, sf_dir):
+    """Deterministic temperature-scaled mixture sampling (r5) — count
+    contract, like stratified_sample_counts: per-domain kept counts are
+    hash-free (target_d = min(n_d, floor(200·sqrt(n_d)/Σsqrt + 0.5)));
+    membership is pinned by the partition-invariance pytest (xxhash64
+    has no DuckDB replay).  Domains are synthesized with exponential
+    skew as 'd' || bit-width(doc_id+1) (integer-exact in both engines);
+    sqrt is IEEE correctly-rounded so the weights are bit-identical
+    cross-engine, and the measured fractional distance of every
+    200·w_d/Σw from the floor(x+0.5) boundary on the fixtures is
+    ≥0.046 — eleven orders above summation-reorder ulps."""
+    from sherlog_parser_spark.operators.mixture import mixture_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    dom = F.concat(F.lit("d"), F.length(F.bin(F.col("doc_id") + 1)).cast("string"))
+    framed = docs.select("doc_id", dom.alias("domain"), "text")
+    kept = mixture_sample(framed, "domain", total_target=200, alpha=0.5)
+    totals = framed.groupBy("domain").agg(F.count(F.lit(1)).alias("n_domain"))
+    kc = kept.groupBy("domain").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        totals.join(kc, "domain", "left")
+        .select(
+            "domain",
+            "n_domain",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+        .orderBy("domain")
+    )
+
+
 def q_sequence_packing(spark, sf_dir):
     """Concat-and-chunk sequence packing (r5): documents' tokens laid
     end-to-end in doc_id order and chunked into 64-token training
@@ -1484,6 +1514,18 @@ def _oracle_sqls() -> dict[str, str]:
             "AS BIGINT) AS shard_id "
             "FROM t ORDER BY doc_id"
         ),
+        # mixture_sample_counts: targets replayed with integer-exact
+        # domain derivation + IEEE sqrt weights; sum ordered by domain
+        # (left-assoc house rule; fixture boundary gap >= 0.046)
+        "mixture_sample_counts": (
+            "WITH d AS (SELECT doc_id, 'd' || CAST(length(printf('%b', doc_id + 1)) AS VARCHAR) AS domain "
+            "FROM documents), "
+            "n AS (SELECT domain, count(*) AS n_domain FROM d GROUP BY domain), "
+            "s AS (SELECT sum(sqrt(CAST(n_domain AS DOUBLE)) ORDER BY domain) AS sw FROM n) "
+            "SELECT domain, n_domain, least(n_domain, "
+            "CAST(floor(200 * sqrt(CAST(n_domain AS DOUBLE)) / s.sw + 0.5e0) AS BIGINT)) AS n_kept "
+            "FROM n, s ORDER BY domain"
+        ),
         # sequence_packing: cumsum window -> per-doc lateral
         # generate_series over the sequences the doc intersects; all
         # arithmetic integer (// like Spark's div); o cast to BIGINT
@@ -1685,6 +1727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "shard_assignment": q_shard_assignment,
         "sequence_packing": q_sequence_packing,
+        "mixture_sample_counts": q_mixture_sample_counts,
         "curation_ledger": q_curation_ledger,
         "decontaminate": q_decontaminate,
         "timeseries_count_anomalies": q_timeseries_count_anomalies,
