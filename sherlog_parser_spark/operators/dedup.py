@@ -80,13 +80,22 @@ def ngram_jaccard_pairs(
             "explicitly with allow_unbounded=True for known-small inputs."
         )
     sh = shingle_table(df, text_col, id_col, n)
+    removed_obs = None
     if max_df is not None:
+        # r5 advice: a silently degraded candidate set must be
+        # observable — the number of shingles the df-cap removes is
+        # collected as a named Observation on the anti-join's build
+        # side (no extra job; metrics materialize with the caller's
+        # action, readable via `<result>.hot_shingle_observation.get`).
+        from pyspark.sql import Observation
+
+        removed_obs = Observation("ngram_jaccard_hot_shingles")
         hot = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("_df"))
             .filter(F.col("_df") > max_df)
             .select("shingle")
-        )
+        ).observe(removed_obs, F.count(F.lit(1)).alias("n_hot_shingles_removed"))
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
@@ -106,6 +115,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    out.hot_shingle_observation = removed_obs
     return out
 
 

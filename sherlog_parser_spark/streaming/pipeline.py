@@ -174,12 +174,23 @@ def compact_stream_output(
                 # Hadoop rename reports failure by returning FALSE, not
                 # raising; ignoring it and then deleting staging would
                 # silently lose the batch's rows (r4 review).  The only
-                # benign false: a rerun already moved this exact file.
-                if not fs.rename(st.getPath(), tgt) and not fs.exists(tgt):
-                    raise IOError(
-                        f"compact_stream_output: rename {st.getPath()} -> {tgt} "
-                        "failed; staging left in place for retry"
-                    )
+                # benign false: a rerun already moved this exact file —
+                # VERIFIED by length (r5 advice: on a copy+delete rename
+                # or a name collision, a partial/foreign file at the
+                # target must not cause the staged rows to be discarded;
+                # mismatched targets are replaced, not trusted).
+                if not fs.rename(st.getPath(), tgt):
+                    if (
+                        fs.exists(tgt)
+                        and fs.getFileStatus(tgt).getLen() == st.getLen()
+                    ):
+                        continue
+                    fs.delete(tgt, False)
+                    if not fs.rename(st.getPath(), tgt):
+                        raise IOError(
+                            f"compact_stream_output: rename {st.getPath()} -> {tgt} "
+                            "failed; staging left in place for retry"
+                        )
 
     done: list[int] = []
     for status in fs.listStatus(out_path):

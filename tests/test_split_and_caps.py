@@ -78,6 +78,12 @@ def test_hot_shingle_cap_bounds_candidates(spark):
     assert {(r["id_a"], r["id_b"]) for r in rows} == {(100, 101)}
     # shingle sets: {abc, bcg(d), gde, dez?} -> sizes 3 and 3, intersection 2
     assert abs(rows[0]["jaccard"] - 2 / 4) < 1e-9
+    # r5 advice: the cap's degradation is observable — the Observation
+    # attached to the anti-join's build side reports how many distinct
+    # shingles were removed (3 boilerplate 3-grams — 'terms of service',
+    # 'of service apply', 'service apply to' — each with df=40 > 10)
+    assert capped.hot_shingle_observation.get["n_hot_shingles_removed"] == 3
+    assert uncapped.hot_shingle_observation is None
 
 
 def test_hot_shingle_cap_consistent_sizes(spark):

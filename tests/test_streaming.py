@@ -179,6 +179,54 @@ def test_compact_stream_output_crash_replay_no_duplicates(spark, stream_setup):
     assert not any(n.startswith("_staging_") for n in names), names
 
 
+def test_compact_publish_replaces_mismatched_target(spark, tmp_path):
+    """r5 advice: when a rename fails because the target name already
+    exists, the benign skip must be LENGTH-VERIFIED — a partial/foreign
+    file at the target is replaced by the staged one, never trusted
+    (which would silently discard the batch's rows)."""
+    import os
+
+    from sherlog_parser_spark.streaming.pipeline import compact_stream_output
+
+    root = str(tmp_path)
+    out = f"{root}/routed"
+    compacted = f"{root}/compacted"
+    rows = [("c1", 1, 7, "bash", 3), ("c2", 2, 7, "bash", 3), ("c3", 3, 8, "grep", 5)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, template_id int, tool string, conv_bucket int"
+    )
+    df.write.partitionBy("template_id", "tool", "conv_bucket").parquet(
+        f"{out}/batch_id=0"
+    )
+    # stage + mark (publish "crashed" before moving anything)
+    staging = f"{compacted}/_staging_batch_id=0"
+    spark.read.parquet(f"{out}/batch_id=0").write.partitionBy(
+        "template_id", "tool", "conv_bucket"
+    ).parquet(staging)
+    os.makedirs(f"{compacted}/_compacted", exist_ok=True)
+    open(f"{compacted}/_compacted/batch_id=0", "w").close()
+    # plant a foreign file at one staged part-file's target path
+    planted = 0
+    for dirpath, _dirs, files in os.walk(staging):
+        for f in files:
+            if f.startswith("part-") and not planted:
+                rel = os.path.relpath(dirpath, staging)
+                tgt_dir = os.path.join(compacted, rel)
+                os.makedirs(tgt_dir, exist_ok=True)
+                with open(os.path.join(tgt_dir, f), "w") as fh:
+                    fh.write("junk")  # wrong length, not parquet
+                planted += 1
+    assert planted == 1
+    assert compact_stream_output(spark, out, compacted, up_to_batch_id=0) == [0]
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(compacted)
+        .select("conv_id", "turn_idx", "template_id", "tool", "conv_bucket")
+        .collect()
+    )
+    assert got == sorted(rows)
+
+
 def test_stateful_sessionization(spark, stream_setup):
     """applyInPandasWithState conversation sessions: running summaries must
     reach the batch per-conversation totals."""
