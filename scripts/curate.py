@@ -10,11 +10,19 @@ Usage:
         [--bench bench_docs.parquet] [--id-col doc_id] [--text-col text]
         [--nfc] [--ngram 4] [--min-tokens 10] [--commit-groups 4]
         [--no-resume]
+        [--mixture-target N --mixture-domain-col source]   # r5
+        [--shard-tokens 100000] [--seq-len 2048]           # r5
 
 Prints one JSON line: {"rows_kept": ..., "fates": {...}, "wall_sec": ...,
 "docs_per_sec": ...}.  Resumable: a killed run re-invoked with the same
 input/config skips committed bucket groups (fingerprint-validated
 manifest, exactly like run.py).
+
+r5 write-side stages (all off by default): temperature-scaled mixture
+sampling over a domain column of the INPUT table, token-budget shard
+packing to <out>/shards/shard_id=N/ (one budget-sized file per shard),
+and the fixed-length sequence boundary map to <out>/sequences — the
+chain a training pipeline runs between curation and the data loader.
 """
 
 from __future__ import annotations
@@ -40,6 +48,20 @@ def main() -> int:
     ap.add_argument("--n-buckets", type=int, default=8)
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--master", default=None)
+    # r5 write-side stages after curation (0 = off):
+    ap.add_argument(
+        "--mixture-target", type=int, default=0,
+        help="temperature-scaled (alpha=0.5) total kept-doc target across --mixture-domain-col domains",
+    )
+    ap.add_argument("--mixture-domain-col", default="source")
+    ap.add_argument(
+        "--shard-tokens", type=int, default=0,
+        help="pack survivors into token-budget shards, written to <out>/shards/shard_id=N/",
+    )
+    ap.add_argument(
+        "--seq-len", type=int, default=0,
+        help="also write the fixed-length sequence boundary map to <out>/sequences",
+    )
     args = ap.parse_args()
 
     from sherlog_parser_spark.plans.curation import run_curation_pipeline
@@ -63,6 +85,66 @@ def main() -> int:
             ngram=args.ngram,
             min_tokens=args.min_tokens,
         )
+        packing: dict = {}
+        if args.shard_tokens > 0 or args.seq_len > 0:
+            from pyspark.sql import functions as F
+
+            from sherlog_parser_spark.functions.textstats import ws_token_count_expr
+            from sherlog_parser_spark.operators.mixture import mixture_sample
+            from sherlog_parser_spark.operators.sharding import (
+                assign_shards,
+                pack_sequences,
+            )
+
+            survivors = (
+                spark.read.parquet(res.cleaned_dir)
+                .withColumn("n_tokens", ws_token_count_expr(args.text_col))
+                .filter(F.col("n_tokens") > 0)
+            )
+            if args.mixture_target > 0:
+                # the cleaned sink keeps only (id, text[, bucket]) — the
+                # domain column lives on the INPUT table; recover it with
+                # an equi-join on the id (AQE broadcasts if it fits)
+                dom = docs.select(args.id_col, args.mixture_domain_col)
+                survivors = mixture_sample(
+                    survivors.join(dom, args.id_col),
+                    args.mixture_domain_col,
+                    total_target=args.mixture_target,
+                    alpha=0.5,
+                )
+                packing["n_mixed"] = survivors.count()
+            if args.shard_tokens > 0:
+                sharded = assign_shards(
+                    survivors, "n_tokens", args.id_col, shard_tokens=args.shard_tokens
+                )
+                # repartition BY shard_id first: the task owning a shard
+                # writes its whole directory — one budget-sized file per
+                # shard, no cross-task interleaving
+                (
+                    sharded.repartition(F.col("shard_id"))
+                    .write.mode("overwrite")
+                    .partitionBy("shard_id")
+                    .parquet(f"{args.out}/shards")
+                )
+                sharded.release()
+                packing["n_shards"] = (
+                    spark.read.parquet(f"{args.out}/shards")
+                    .select("shard_id").distinct().count()
+                )
+            if args.seq_len > 0:
+                packed = pack_sequences(
+                    survivors, "n_tokens", args.id_col, seq_len=args.seq_len
+                )
+                (
+                    packed.repartitionByRange(F.col("seq_id"))
+                    .write.mode("overwrite")
+                    .parquet(f"{args.out}/sequences")
+                )
+                packed.release()
+                packing["n_sequences"] = (
+                    spark.read.parquet(f"{args.out}/sequences")
+                    .select("seq_id").distinct().count()
+                )
         print(
             json.dumps(
                 {
@@ -73,6 +155,7 @@ def main() -> int:
                     if res.wall_sec > 0
                     else None,
                     "cleaned_dir": res.cleaned_dir,
+                    **packing,
                 }
             )
         )
