@@ -252,3 +252,36 @@ def test_new_doc_queries_plan_quality(spark):
         plan = _plan(build())
         assert "Exchange hashpartitioning" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_packing_and_interleave_plan_shape(spark):
+    """r5 write-side operators: the global-order kernels must never plan
+    a one-task exchange (the naive global window's SinglePartition), the
+    driver-offset frames must broadcast, and no join may degrade to
+    cartesian/sort-merge."""
+    from sherlog_parser_spark.operators.interleave import interleave_by_mixture
+    from sherlog_parser_spark.operators.mixture import mixture_sample
+    from sherlog_parser_spark.operators.sharding import assign_shards, pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        "source",
+    )
+    frames = []
+    sh = assign_shards(docs, "n_tokens", "doc_id", shard_tokens=2000)
+    frames.append(("assign_shards", sh, sh.release))
+    pk = pack_sequences(docs, "n_tokens", "doc_id", seq_len=64)
+    frames.append(("pack_sequences", pk, pk.release))
+    mx = mixture_sample(docs, "source", total_target=100)
+    frames.append(("mixture_sample", mx, None))
+    il = interleave_by_mixture(docs, "source", order_col="doc_id")
+    frames.append(("interleave", il, il.release))
+    for name, df, release in frames:
+        plan = _plan(df)
+        assert "SinglePartition" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name  # driver offsets/decisions
+        if release:
+            release()
