@@ -152,3 +152,36 @@ def interleave_by_mixture(
     ).drop("_grank")
     out.release = release
     return out
+
+
+def write_training_order(
+    df: DataFrame,
+    path: str,
+    domain_col: str = "source",
+    order_col: str = "doc_id",
+    vtime_col: str = "vtime",
+    n_range_partitions: int | None = None,
+) -> None:
+    """Materialize the interleaved training order: files are
+    range-partitioned on ``vtime_col`` and sorted within each file, so
+    reading part-00000, part-00001, ... in filename order and rows in
+    file order IS the global schedule — no one-task global sort, the
+    range exchange + per-partition sort is the whole plan.  Releases
+    the interleave pass's persisted intermediate after the write (the
+    sink is the durability point)."""
+    out = df
+    if vtime_col not in df.columns:
+        out = interleave_by_mixture(
+            df, domain_col, order_col=order_col, vtime_col=vtime_col,
+            n_range_partitions=n_range_partitions,
+        )
+    sort_keys = [F.col(vtime_col), F.col(domain_col), F.col(order_col)]
+    (
+        out.repartitionByRange(*sort_keys)
+        .sortWithinPartitions(*sort_keys)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    release = getattr(out, "release", None)
+    if release is not None:
+        release()

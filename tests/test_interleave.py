@@ -105,3 +105,40 @@ def test_interleave_default_weights_and_validation(spark):
     doms = {r["source"] for r in out3.collect()}
     out3.release()
     assert doms == {"web"}
+
+
+def test_write_training_order_is_globally_sorted(spark, tmp_path):
+    """Reading the materialized order file-by-file (filename order),
+    rows in file order, must reproduce the exact global schedule."""
+    import glob
+    import os
+
+    from sherlog_parser_spark.operators.interleave import write_training_order
+
+    from sherlog_parser_spark.operators.interleave import interleave_by_mixture
+
+    df, _ = _corpus(spark, 6)
+    path = str(tmp_path / "order")
+    # plan shape: a range exchange + within-partition sort, never a
+    # global single-partition sort (AQE may still coalesce the tiny
+    # test output into one FILE — that's a size decision, not a funnel)
+    out = interleave_by_mixture(df, "source", order_col="doc_id")
+    shaped = out.repartitionByRange("vtime", "source", "doc_id").sortWithinPartitions(
+        "vtime", "source", "doc_id"
+    )
+    plan = shaped._sc._jvm.PythonSQLUtils.explainString(
+        shaped._jdf.queryExecution(), "simple"
+    )
+    out.release()
+    assert "rangepartitioning" in plan and "SinglePartition" not in plan, plan
+    write_training_order(df, path, "source", "doc_id")
+    files = sorted(glob.glob(os.path.join(path, "part-*")))
+    assert files
+    seq = []
+    for f in files:
+        seq.extend(
+            (r["vtime"], r["source"], r["doc_id"])
+            for r in spark.read.parquet(f).collect()
+        )
+    assert seq == sorted(seq)
+    assert len(seq) == df.count()
