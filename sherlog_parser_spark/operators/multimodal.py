@@ -5,14 +5,17 @@ all heavy per-item work (decode, resize, frame-sample, feature
 extraction) runs in Arrow-batched ``mapInPandas`` so executors stream
 record batches without per-row Python overhead.
 
-Codec support (r2): REAL, dependency-free decoders for three container
-formats — WAV/PCM (stdlib ``wave`` + struct), binary PPM (P6), and
-24-bit uncompressed BMP — dispatched by magic bytes in
-``decode_media``.  Formats that require external codecs (JPEG, PNG,
-H.264, ...) remain an explicit ``NotImplementedError`` boundary
-(the container ships no PIL/ffmpeg); ``decode_stub(fake=True)`` is the
-deterministic test double for exercising the plumbing with arbitrary
-payloads.
+Codec support: REAL, dependency-free decoders for four container
+formats — WAV/PCM (stdlib ``wave`` + struct), binary PPM (P6),
+24-bit uncompressed BMP (all r2), and PNG (r5: stdlib ``zlib``
+inflate + the five scanline filters — None/Sub/Up/Average/Paeth —
+for 8-bit gray / gray+alpha / RGB / RGBA, non-interlaced; palette,
+16-bit and Adam7 raise) — dispatched by magic bytes in
+``decode_media``.  Formats that genuinely require external codecs
+(JPEG's Huffman+DCT, H.264, ...) remain an explicit
+``NotImplementedError`` boundary (the container ships no PIL/ffmpeg);
+``decode_stub(fake=True)`` is the deterministic test double for
+exercising the plumbing with arbitrary payloads.
 """
 
 from __future__ import annotations
@@ -21,6 +24,7 @@ import hashlib
 import io
 import struct
 import wave
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -95,17 +99,72 @@ def make_bmp(seed: int = 0, width: int = 5, height: int = 4) -> bytes:
     return header + bytes(body)
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def make_png(seed: int = 0, width: int = 7, height: int = 6, color_type: int = 2) -> bytes:
+    """Deterministic REAL PNG (stdlib zlib + crc32), scanlines encoded
+    with CYCLING filter types 0..4 so a decoder must implement every
+    unfilter to round-trip it."""
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    rows = [
+        bytes((x * (13 + seed) + y * 7 + c * 29) % 256 for x in range(width) for c in range(ch))
+        for y in range(height)
+    ]
+    scan = bytearray()
+    prev = bytes(stride)
+    for y, raw in enumerate(rows):
+        f = y % 5
+        scan.append(f)
+        for i in range(stride):
+            a = raw[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            scan.append((raw[i] - pred) & 0xFF)
+        prev = raw
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def synthetic_real_media(spark, n: int = 12, seed: int = 42) -> DataFrame:
     """Media table whose payloads are REAL decodable containers
-    (WAV / PPM / BMP round-robin)."""
+    (WAV / PPM / BMP / PNG round-robin)."""
     rows = []
     for i in range(n):
-        if i % 3 == 0:
+        if i % 4 == 0:
             payload, kind, mime = make_wav(seed + i), "audio", "audio/wav"
-        elif i % 3 == 1:
+        elif i % 4 == 1:
             payload, kind, mime = make_ppm(seed + i), "image", "image/x-portable-pixmap"
-        else:
+        elif i % 4 == 2:
             payload, kind, mime = make_bmp(seed + i), "image", "image/bmp"
+        else:
+            payload, kind, mime = make_png(seed + i), "image", "image/png"
         rows.append((i, kind, bytearray(payload), mime, len(payload)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -214,18 +273,108 @@ def decode_bmp(payload: bytes) -> dict:
     return {"width": width, "height": abs(height), "feature": _luma_histogram(bytes(px), width * abs(height))}
 
 
+def _png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Chunk walk + inflate + scanline unfilter.  Returns
+    (width, height, channels, raw pixel bytes row-major)."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width, height, depth, ctype, _comp, _filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"only 8-bit PNG supported (depth={depth})")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    ch = _PNG_CHANNELS.get(ctype)
+    if ch is None:
+        raise NotImplementedError(f"palette PNG (color type {ctype}) not supported")
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * ch
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG scanline data has wrong length")
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        f = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if f == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out += line
+        prev = line
+    return width, height, ch, bytes(out)
+
+
+def decode_png(payload: bytes) -> dict:
+    """Real PNG decode via the stdlib (r5): zlib inflate + per-scanline
+    unfilter (None/Sub/Up/Average/Paeth), then the shared luminance
+    histogram.  8-bit gray / gray+alpha / RGB / RGBA, non-interlaced."""
+    width, height, ch, px = _png_pixels(payload)
+    rgb = bytearray()
+    for i in range(width * height):
+        if ch == 1:
+            v = px[i]
+            rgb += bytes((v, v, v))
+        elif ch == 2:
+            v = px[2 * i]
+            rgb += bytes((v, v, v))
+        elif ch == 3:
+            rgb += px[3 * i : 3 * i + 3]
+        else:
+            rgb += px[4 * i : 4 * i + 3]
+    return {
+        "width": width,
+        "height": height,
+        "feature": _luma_histogram(bytes(rgb), width * height),
+    }
+
+
 def decode_media(payload: bytes, kind: str | None = None) -> dict:
     """Magic-byte dispatch to a real decoder; unsupported containers are
-    an explicit boundary (JPEG/PNG/H.264 need PIL/ffmpeg, not shipped)."""
+    an explicit boundary (JPEG/H.264 need PIL/ffmpeg, not shipped)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
     raise NotImplementedError(
         f"no built-in decoder for this container (magic={payload[:4]!r}); "
-        "JPEG/PNG/video need PIL/ffmpeg — plug them in at decode_media"
+        "JPEG/video need PIL/ffmpeg — plug them in at decode_media"
     )
 
 

@@ -261,8 +261,61 @@ def test_unknown_container_is_explicit_boundary():
 
     from sherlog_parser_spark.operators.multimodal import decode_media
 
+    # JPEG (Huffman+DCT) stays a genuine external-codec boundary
     with _pytest.raises(NotImplementedError, match="no built-in decoder"):
-        decode_media(b"\x89PNG\r\n\x1a\nxxxxxxxx")
+        decode_media(b"\xff\xd8\xff\xe0" + b"x" * 16)
+
+
+def test_real_png_decode_all_filters_and_color_types():
+    """r5: the stdlib PNG decoder must round-trip payloads whose
+    scanlines cycle every filter type (0..4), for gray / gray+alpha /
+    RGB / RGBA, and refuse what it cannot decode honestly."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from sherlog_parser_spark.operators.multimodal import (
+        _PNG_CHANNELS,
+        _png_pixels,
+        decode_media,
+        make_png,
+    )
+
+    for ctype in (0, 2, 4, 6):
+        ch = _PNG_CHANNELS[ctype]
+        w, h = 7, 6  # 6 rows -> filters 0,1,2,3,4,0 all exercised
+        payload = make_png(seed=ctype, width=w, height=h, color_type=ctype)
+        gw, gh, gch, px = _png_pixels(payload)
+        assert (gw, gh, gch) == (w, h, ch)
+        expected = bytes(
+            (x * (13 + ctype) + y * 7 + c * 29) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(ch)
+        )
+        assert px == expected  # every unfilter reconstructed exactly
+        d = decode_media(payload)
+        assert (d["width"], d["height"]) == (w, h)
+        assert abs(sum(d["feature"]) - 1.0) < 1e-9
+
+    # honest refusals: 16-bit depth and Adam7 interlacing
+    def chunk(typ, data):
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(
+            ">I", zlib.crc32(typ + data) & 0xFFFFFFFF
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    deep = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)) + chunk(
+        b"IDAT", zlib.compress(b"\x00" * 26)
+    )
+    with _pytest.raises(NotImplementedError, match="8-bit"):
+        decode_media(deep)
+    adam = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)) + chunk(
+        b"IDAT", zlib.compress(b"\x00" * 14)
+    )
+    with _pytest.raises(NotImplementedError, match="Adam7"):
+        decode_media(adam)
 
 
 def test_extract_features_real_decode_distributed(spark):
