@@ -39,6 +39,7 @@ from sherlog_parser_spark.functions.masking import (
 )
 from sherlog_parser_spark.functions import pii as PII
 from sherlog_parser_spark.operators import dedup as DD
+from sherlog_parser_spark.operators import lm as LM
 from sherlog_parser_spark.operators import numeric as NUM
 from sherlog_parser_spark.operators import similarity as SIM
 
@@ -541,7 +542,13 @@ def q_text_stats(spark, sf_dir):
         TS.bpe_ish_token_count_expr("text").alias("bpe_tokens"),
         TS.fingerprint_expr("text", 3).alias("fingerprint"),
     )
-    return base.join(q_repetition_stats(spark, sf_dir), "doc_id")
+    # r5: bigram-LM quality scores joined in (operators/lm.py) — the
+    # scorer is doc-complete (empty docs score (0, 0)), so a plain
+    # inner join keeps the frame doc-complete
+    lm_scores = LM.lm_quality_scores(docs, vocab_size=256)
+    return base.join(q_repetition_stats(spark, sf_dir), "doc_id").join(
+        lm_scores, "doc_id"
+    )
 
 
 def q_repetition_stats(spark, sf_dir):
@@ -954,6 +961,35 @@ _REPETITION_SQL = (
     f"CAST(floor(({TS.dd_top_ngram_char_frac('sh2', 'text')}) * 10000 + 0.5e0) AS BIGINT) AS top_2gram_char_frac_x1e4, "
     f"CAST(floor(({TS.dd_dup_frac('sh5')}) * 10000 + 0.5e0) AS BIGINT) AS dup_5gram_frac_x1e4 "
     f"FROM b"
+)
+
+# r5 bigram-LM quality scores (operators/lm.py): doc-complete
+# (doc_id, lm_score_q, lm_oov) replay — vocab = top-256 lowercase tokens
+# (count DESC, token ASC), <s>-prefixed <unk>-mapped bigrams, add-one
+# smoothing with V = |vocab| + 1, per-pair scores QUANTIZED in the
+# linear domain (floor(1e6 * (c+1)/(n+V)) — IEEE mult/div of exact ints
+# are correctly rounded cross-engine, unlike ln) and summed as BIGINTs.
+_LM_TOKS = TS.dd_tokens("text", lower=True)
+_LM_SQL = (
+    f"WITH llt AS (SELECT doc_id, {_LM_TOKS} AS ltk FROM documents), "
+    "llu AS (SELECT u.t AS token, count(*) AS c FROM llt, unnest(ltk) AS u(t) GROUP BY 1), "
+    "llv AS (SELECT token FROM llu ORDER BY c DESC, token LIMIT 256), "
+    "llw AS (SELECT list(token) AS vl, count(*) + 1 AS v FROM llv), "
+    "llp AS (SELECT llt.doc_id, "
+    "CASE WHEN r.i = 1 THEN '<s>' "
+    "WHEN list_contains(w.vl, ltk[r.i - 1]) THEN ltk[r.i - 1] ELSE '<unk>' END AS prev, "
+    "CASE WHEN list_contains(w.vl, ltk[r.i]) THEN ltk[r.i] ELSE '<unk>' END AS cur, "
+    "CASE WHEN list_contains(w.vl, ltk[r.i]) THEN 0 ELSE 1 END AS oov "
+    "FROM llt CROSS JOIN llw w, unnest(range(1, len(ltk) + 1)) AS r(i)), "
+    "llb AS (SELECT prev, cur, count(*) AS c FROM llp GROUP BY 1, 2), "
+    "llc AS (SELECT prev, CAST(sum(c) AS BIGINT) AS n FROM llb GROUP BY 1), "
+    "llms AS (SELECT p.doc_id, "
+    "CAST(sum(CAST(floor(1e6 * (b.c + 1) / (x.n + w.v)) AS BIGINT)) AS BIGINT) AS lm_score_q, "
+    "CAST(sum(p.oov) AS BIGINT) AS lm_oov "
+    "FROM llp p JOIN llb b ON p.prev = b.prev AND p.cur = b.cur "
+    "JOIN llc x ON p.prev = x.prev CROSS JOIN llw w GROUP BY 1) "
+    "SELECT d.doc_id, coalesce(l.lm_score_q, 0) AS lm_score_q, "
+    "coalesce(l.lm_oov, 0) AS lm_oov FROM documents d LEFT JOIN llms l USING (doc_id)"
 )
 
 _PARITIES = {
@@ -1420,10 +1456,12 @@ def _oracle_sqls() -> dict[str, str]:
             f"CAST(floor(({TS.dd_quality_score('text')}) * 10000 + 0.5e0) AS BIGINT) AS quality_x1e4, "
             f"len(tk) AS ws_tokens, {TS.dd_bpe_count('text')} AS bpe_tokens, "
             f"{TS.dd_fingerprint('tk', 'text', 3)} AS fingerprint FROM t), "
-            f"rep AS ({_REPETITION_SQL}) "
+            f"rep AS ({_REPETITION_SQL}), "
+            f"lm AS ({_LM_SQL}) "
             "SELECT base.*, rep.n_lines, rep.dup_line_frac_x1e4, "
             "rep.dup_line_char_frac_x1e4, rep.top_2gram_char_frac_x1e4, "
-            "rep.dup_5gram_frac_x1e4 FROM base JOIN rep USING (doc_id)"
+            "rep.dup_5gram_frac_x1e4, lm.lm_score_q, lm.lm_oov "
+            "FROM base JOIN rep USING (doc_id) JOIN lm USING (doc_id)"
         ),
         "simhash_dup_candidates": (
             # exact all-pairs oracle: banding is lossless for hamming <= 3
