@@ -48,6 +48,12 @@ def main() -> int:
     ap.add_argument("--n-buckets", type=int, default=8)
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--lm-min-avg-q", type=int, default=0,
+        help="CCNet-style LM filter: drop docs whose mean per-token quantized "
+        "bigram-LM score is below this (0 = stage off)",
+    )
+    ap.add_argument("--lm-vocab", type=int, default=256)
     # r5 write-side stages after curation (0 = off):
     ap.add_argument(
         "--mixture-target", type=int, default=0,
@@ -84,6 +90,11 @@ def main() -> int:
             nfc=args.nfc,
             ngram=args.ngram,
             min_tokens=args.min_tokens,
+            lm_filter=(
+                {"min_avg_score_q": args.lm_min_avg_q, "vocab_size": args.lm_vocab}
+                if args.lm_min_avg_q > 0
+                else None
+            ),
         )
         packing: dict = {}
         if args.shard_tokens > 0 or args.seq_len > 0:

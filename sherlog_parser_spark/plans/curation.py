@@ -10,6 +10,8 @@ into ONE DAG with the same checkpointed-commit-group write discipline:
       → substring cuts             (cross-doc repeated n-gram spans
                                     merged + removed, Lee et al. 2022)
       → quality filter             (Gopher-style first-failing-rule)
+      → LM filter                  (optional CCNet-style bigram-LM
+                                    score threshold, operators/lm.py)
       → PII redaction              (ordered regexp_replace chain)
       → decontamination            (broadcast benchmark shingle set)
       → bucketed, checkpointed parquet sink + per-doc fate ledger
@@ -100,6 +102,7 @@ def curation_dag(
     minhash_bands: int = 4,
     min_tokens: int = 10,
     quality_kwargs: dict | None = None,
+    lm_filter: dict | None = None,
     persist_intermediates: bool = True,
     persist_registry: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
@@ -113,7 +116,16 @@ def curation_dag(
 
     ``bench_docs`` (optional): frame with ``text_col`` whose n-gram
     shingles define the decontamination blocklist (broadcast — real
-    eval suites are MBs)."""
+    eval suites are MBs).
+
+    ``lm_filter`` (optional): the CCNet stage (Wenzek et al. 2020 —
+    filter web text by LM score).  ``{"min_avg_score_q": N[,
+    "vocab_size": V]}`` trains the bigram LM (operators/lm.py) on the
+    quality survivors and drops docs whose mean per-token quantized
+    score ``floor(lm_score_q / n_tokens)`` falls below N (fate
+    'lm_filtered').  The model's bigram/context tables are shared
+    intermediates (consumed by the join AND the context derivation) and
+    go through the same ``_reuse`` persistence as the fate sets."""
     from pyspark import StorageLevel
 
     def _reuse(frame: DataFrame) -> DataFrame:
@@ -166,6 +178,29 @@ def curation_dag(
     quality_losers = s3q.filter(F.col("_reason") != "keep").select("doc_id", "_reason")
     s4 = s3q.filter(F.col("_reason") == "keep").drop("_reason")
 
+    # optional CCNet-style LM filter (train on the quality survivors,
+    # drop low-mean-score docs); quantized-integer scores keep the
+    # threshold comparison engine-exact
+    if lm_filter is not None:
+        from sherlog_parser_spark.operators.lm import lm_likelihood, train_bigram_lm
+
+        min_avg = int(lm_filter["min_avg_score_q"])
+        lm = train_bigram_lm(s4, "text", "doc_id", int(lm_filter.get("vocab_size", 256)))
+        lm = lm._replace(bigrams=_reuse(lm.bigrams), contexts=_reuse(lm.contexts))
+        avg_q = F.floor(
+            F.col("lm_score_q").cast("double")
+            / F.greatest(TS.ws_token_count_expr("text"), F.lit(1))
+        ).cast("long")
+        lm_losers = _reuse(
+            lm_likelihood(s4, lm, "text", "doc_id")
+            .join(s4, "doc_id")
+            .filter(avg_q < min_avg)
+            .select("doc_id")
+        )
+        s4 = s4.join(lm_losers, "doc_id", "left_anti")
+    else:
+        lm_losers = None
+
     # PII redaction (pure JVM regexp chain)
     s5 = s4.select("doc_id", PII.redact_pii_expr("text").alias("text"))
 
@@ -201,6 +236,10 @@ def curation_dag(
             "doc_id", F.concat(F.lit("quality:"), F.col("_reason")).alias("fate")
         )
     )
+    if lm_losers is not None:
+        ledger = ledger.unionByName(
+            lm_losers.select("doc_id", F.lit("lm_filtered").alias("fate"))
+        )
     if contaminated is not None:
         ledger = ledger.unionByName(
             contaminated.select("doc_id", F.lit("contaminated").alias("fate"))

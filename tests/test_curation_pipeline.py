@@ -86,6 +86,57 @@ def test_curation_dag_fates(spark, corpus):
     assert "opening copper maple quartz" in out[21]
 
 
+def test_curation_dag_lm_filter_stage(spark, corpus):
+    """r5: the optional CCNet-style LM stage drops exactly the docs
+    whose mean per-token quantized score is below the threshold, fates
+    them 'lm_filtered', and leaves every other fate unchanged."""
+    import math
+
+    from sherlog_parser_spark.operators.lm import lm_quality_scores
+    from sherlog_parser_spark.functions.textstats import ws_token_count_expr
+
+    from sherlog_parser_spark.operators.dedup import substring_dedup_cut
+
+    docs, bench = corpus
+    # baseline run (stage off) -> the quality-survivor set the LM trains on
+    _, ledger0 = curation_dag(docs, bench_docs=bench, quality_kwargs=QUALITY)
+    fates0 = {r["doc_id"]: r["fate"] for r in ledger0.collect()}
+    s4_ids = {d for d, f in fates0.items() if f in ("kept", "contaminated")}
+    s2_ids = {d for d, f in fates0.items() if f not in ("exact_dup", "near_dup")}
+
+    # the LM trains on the DAG's s4 frame — CUT text, pre-PII: replay the
+    # same public operators (substring cuts over the dedup survivors)
+    s2 = docs.filter(F.col("doc_id").isin(*s2_ids)).select("doc_id", "text")
+    surv = (
+        substring_dedup_cut(s2, n=4, min_docs=2)
+        .select("doc_id", F.col("cleaned_text").alias("text"))
+        .filter(F.col("doc_id").isin(*s4_ids))
+    )
+    scored = (
+        lm_quality_scores(surv)
+        .join(surv.select("doc_id", ws_token_count_expr("text").alias("nt")), "doc_id")
+        .collect()
+    )
+    avg = {r["doc_id"]: math.floor(r["lm_score_q"] / max(r["nt"], 1)) for r in scored}
+    ordered = sorted(avg, key=lambda d: (avg[d], d))
+    worst, second = ordered[0], ordered[1]
+    assert avg[worst] < avg[second]  # a strict gap so the cut is stable
+    thr = avg[second]  # drop strictly-below -> exactly `worst`
+
+    _, ledger = curation_dag(
+        docs,
+        bench_docs=bench,
+        quality_kwargs=QUALITY,
+        lm_filter={"min_avg_score_q": thr},
+    )
+    fates = {r["doc_id"]: r["fate"] for r in ledger.collect()}
+    assert fates[worst] == "lm_filtered"
+    assert sorted(fates) == sorted(fates0)  # still one row per input doc
+    for d, f in fates.items():
+        if d != worst:
+            assert f == fates0[d]
+
+
 def test_curation_pipeline_e2e_and_resume(spark, corpus, tmp_path):
     docs, bench = corpus
     out = str(tmp_path / "curation")
