@@ -470,6 +470,46 @@ def q_ivf_ann_topk(spark, sf_dir):
     return SIM.ivf_ann_topk(assigned, centroids, list(map(float, qv)), k=10, n_probe=2, exclude_id=0)
 
 
+def q_ann_topk(spark, sf_dir):
+    """All three ANN strategies (exact brute-force scan, multi-probe
+    hyperplane LSH, injected-quantizer IVF) against the SAME query
+    vector, method-tagged in one frame — merged from the r1-r4
+    ``embedding_topk`` / ``lsh_ann_topk`` / ``ivf_ann_topk`` entries
+    (driver 50-row cap, see q_numeric_outliers).  Each branch keeps its
+    own total-order top-10; the oracle replays all three."""
+    brute = q_embedding_topk(spark, sf_dir).select(
+        F.lit("brute").alias("method"), "vec_id", "cos"
+    )
+    lsh = q_lsh_ann_topk(spark, sf_dir).select(
+        F.lit("lsh").alias("method"), "vec_id", "cos"
+    )
+    ivf = q_ivf_ann_topk(spark, sf_dir).select(
+        F.lit("ivf").alias("method"), "vec_id", "cos"
+    )
+    return brute.unionAll(lsh).unionAll(ivf)
+
+
+def q_semdedup_keep(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): embedding-cluster-bucketed semantic
+    dedup — assign every vector to its nearest injected center (the
+    embeddings of vec_id 1..8: deterministic and SQL-replayable, the
+    same two-quantizer convention as q_ivf_ann_topk), connect
+    within-cluster pairs with cosine >= 0.25 into duplicate groups,
+    keep the group member LEAST similar to its cluster centroid
+    (quantized centroid cosine, ties by id).  Candidate generation is
+    an equi-join on list_id — never all-pairs."""
+    from sherlog_parser_spark.operators.semdedup import semdedup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    crows = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.filter(F.col("vec_id").between(1, 8)).collect()
+    }
+    centroids = [list(map(float, crows[i])) for i in range(1, 9)]
+    # persist=False: one-shot oracle queries have no unpersist point
+    return semdedup(emb, centroids, threshold=0.25, persist=False)
+
+
 def q_json_containment(spark, sf_dir):
     """F5 — JSONB containment `parameters @> '{"k":"7"}'` analog."""
     ev = _read(spark, sf_dir, "events")
@@ -481,14 +521,15 @@ def q_json_containment(spark, sf_dir):
 
 
 def q_dedup_keep_docs(spark, sf_dir):
-    """Near-dup dedup decision: MinHash/LSH candidate pairs -> connected
-    components -> keep only min-id representatives (plus untouched docs),
-    resolved by BOTH component algorithms (``algo`` column: 'hash2min'
-    iterated hash-to-min, 'star' large-star/small-star) — the two must
-    produce identical keep sets, and both are checked against the single
-    recursive-CTE oracle.  Merged from the r2-r4 ``dedup_keep_docs`` +
-    ``dedup_keep_docs_star`` entries (driver 50-row cap, see
-    q_numeric_outliers)."""
+    """Dedup keep-set family (``algo`` column): 'exact' md5(text)
+    min-id exact dedup, plus the near-dup decision — MinHash/LSH
+    candidate pairs -> connected components -> min-id representatives
+    (plus untouched docs) — resolved by BOTH component algorithms
+    ('hash2min' iterated hash-to-min, 'star' large-star/small-star),
+    which must produce identical keep sets.  All three branches are
+    checked against the one oracle.  Merged from the r1-r4
+    ``exact_dedup`` + ``dedup_keep_docs`` + ``dedup_keep_docs_star``
+    entries (driver 50-row cap, see q_numeric_outliers)."""
     from sherlog_parser_spark.operators.components import (
         connected_components_star,
         dedup_keep_representatives,
@@ -506,7 +547,10 @@ def q_dedup_keep_docs(spark, sf_dir):
     star_keep = docs.join(losers, "doc_id", "left_anti").select(
         F.lit("star").alias("algo"), "doc_id"
     )
-    return hash_keep.unionAll(star_keep)
+    exact_keep = DD.exact_dedup(docs, "text", "doc_id").select(
+        F.lit("exact").alias("algo"), "doc_id"
+    )
+    return exact_keep.unionAll(hash_keep).unionAll(star_keep)
 
 
 def q_simhash_dup_candidates(spark, sf_dir):
@@ -1341,11 +1385,6 @@ def _oracle_sqls() -> dict[str, str]:
             "THEN regexp_extract(text, '^(?:evt (\\S+) user (\\d+) from (\\S+) req (0x[0-9a-f]+) .*)', 3) END AS ip "
             "FROM l ORDER BY event_id"
         ),
-        "exact_dedup": (
-            "SELECT doc_id FROM documents d JOIN "
-            "(SELECT md5(text) AS h, min(doc_id) AS keep FROM documents GROUP BY 1) k "
-            "ON d.doc_id = k.keep"
-        ),
         "ngram_jaccard_pairs": (
             # hot-shingle document-frequency cap (df <= 100) mirrored from
             # ngram_jaccard_pairs(max_df=100): capped shingles vanish from
@@ -1379,13 +1418,15 @@ def _oracle_sqls() -> dict[str, str]:
             "FROM documents WHERE doc_id < 200) "
             f"SELECT doc_id AS id, ({_SIMHASH_BITS}) AS simhash FROM h"
         ),
-        "embedding_topk": (
+        # ann_topk: the three ANN strategies against the same query
+        # vector, method-tagged (merged entries — driver 50-row cap)
+        "ann_topk": (
+            "SELECT 'brute' AS method, vec_id, cos FROM ("
             "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
             f"SELECT vec_id, round(({_dd_dot('embedding', 'qv')}) / "
             f"(({_dd_norm('embedding')}) * ({_dd_norm('qv')})), 6) AS cos "
             "FROM embeddings, q WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10"
-        ),
-        "lsh_ann_topk": (
+            ") UNION ALL SELECT 'lsh' AS method, vec_id, cos FROM ("
             # multi-probe: candidates within Hamming distance 1 of the query
             # bucket (mirrors lsh_ann_topk(hamming_probes=1))
             "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
@@ -1400,11 +1441,10 @@ def _oracle_sqls() -> dict[str, str]:
             f"SELECT vec_id, round(({_dd_dot('embedding', 'qv')}) / "
             f"(({_dd_norm('embedding')}) * ({_dd_norm('qv')})), 6) AS cos "
             "FROM cand, q ORDER BY cos DESC, vec_id LIMIT 10"
-        ),
-        # ivf_ann_topk: centers = embeddings of vec_id 1..16; assignment
-        # = argmin left-assoc squared-euclid (row_number ties on cid =
-        # Spark's first-min array_position); probe 2 nearest lists
-        "ivf_ann_topk": (
+            ") UNION ALL SELECT 'ivf' AS method, vec_id, cos FROM ("
+            # ivf: centers = embeddings of vec_id 1..16; assignment
+            # = argmin left-assoc squared-euclid (row_number ties on cid =
+            # Spark's first-min array_position); probe 2 nearest lists
             "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
             "cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings "
             "WHERE vec_id BETWEEN 1 AND 16), "
@@ -1420,6 +1460,44 @@ def _oracle_sqls() -> dict[str, str]:
             f"SELECT vec_id, round(({_dd_dot('embedding', 'qv')}) / "
             f"(({_dd_norm('embedding')}) * ({_dd_norm('qv')})), 6) AS cos "
             "FROM cand, q ORDER BY cos DESC, vec_id LIMIT 10"
+            ")"
+        ),
+        # semdedup_keep: SemDeDup replay — injected centers = embeddings
+        # of vec_id 1..8; argmin assignment as in ann_topk's ivf branch;
+        # within-cluster pairs with cosine >= 0.25 -> recursive-CTE
+        # components; keeper = min (quantized centroid cosine, id)
+        "semdedup_keep": (
+            "WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings "
+            "WHERE vec_id BETWEEN 1 AND 8), "
+            "asg AS (SELECT e.vec_id, e.embedding, c.cid, "
+            "row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+            f"({_dd_sqdist('e.embedding', 'c.cv')}), c.cid) AS rk "
+            "FROM embeddings e CROSS JOIN cent c), "
+            "a AS (SELECT vec_id, embedding, cid FROM asg WHERE rk = 1), "
+            "cq AS (SELECT a.vec_id, a.cid, CAST(floor(1.0e6 * "
+            f"(({_dd_dot('a.embedding', 'c.cv')}) / "
+            f"(({_dd_norm('a.embedding')}) * ({_dd_norm('c.cv')}))) + 0.5e0) AS BIGINT) AS cent_q "
+            "FROM a JOIN cent c ON a.cid = c.cid), "
+            "pairs AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b "
+            "FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id "
+            f"WHERE (({_dd_dot('x.embedding', 'y.embedding')}) / "
+            f"(({_dd_norm('x.embedding')}) * ({_dd_norm('y.embedding')}))) >= 0.25e0), "
+            # MATERIALIZED is load-bearing: without it DuckDB re-inlines
+            # the 192-term dot-product pair join into EVERY recursion
+            # step of the closure below and OOMs
+            "edges AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM pairs "
+            "UNION SELECT id_b, id_a FROM pairs), "
+            "reach AS ("
+            "  WITH RECURSIVE r(id, x) AS ("
+            "    SELECT DISTINCT s, s FROM edges "
+            "    UNION SELECT r.id, e.d FROM r JOIN edges e ON e.s = r.x) "
+            "  SELECT id, min(x) AS component FROM r GROUP BY id), "
+            "mem AS (SELECT q.vec_id, row_number() OVER (PARTITION BY r.component "
+            "ORDER BY q.cent_q, q.vec_id) AS rnk "
+            "FROM cq q JOIN reach r ON q.vec_id = r.id) "
+            "SELECT a.vec_id, CAST(a.cid - 1 AS INTEGER) AS list_id, "
+            "coalesce(mem.rnk = 1, TRUE) AS kept "
+            "FROM a LEFT JOIN mem ON a.vec_id = mem.vec_id"
         ),
         "json_containment": (
             "SELECT event_type, count(*) AS n FROM events "
@@ -1444,9 +1522,14 @@ def _oracle_sqls() -> dict[str, str]:
             "  SELECT id, min(x) AS component FROM r GROUP BY id), "
             "keep AS (SELECT doc_id FROM documents WHERE doc_id NOT IN "
             "(SELECT id FROM reach WHERE id <> component)) "
-            # both component algorithms must yield this same keep set
+            # both component algorithms must yield this same keep set;
+            # the 'exact' branch is the md5(text) min-id keep set
+            # (former exact_dedup entry — driver 50-row cap)
             "SELECT v.algo, k.doc_id FROM keep k "
-            "CROSS JOIN (VALUES ('hash2min'), ('star')) AS v(algo)"
+            "CROSS JOIN (VALUES ('hash2min'), ('star')) AS v(algo) "
+            "UNION ALL SELECT 'exact' AS algo, d.doc_id FROM documents d JOIN "
+            "(SELECT md5(text) AS h, min(doc_id) AS kp FROM documents GROUP BY 1) x "
+            "ON d.doc_id = x.kp"
         ),
         "text_stats": (
             # base per-doc stats JOINed with the repetition signals
@@ -1740,13 +1823,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # once-dropped windowed-anomaly query early as insurance against
         # a time-budget cutoff rather than a count cap
         "anomaly_incidents_windowed": q_anomaly_incidents_windowed,
-        "exact_dedup": q_exact_dedup,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_candidates": q_minhash_candidates,
         "simhash": q_simhash,
-        "embedding_topk": q_embedding_topk,
-        "lsh_ann_topk": q_lsh_ann_topk,
-        "ivf_ann_topk": q_ivf_ann_topk,
+        # r5 merge: ann_topk = brute | lsh | ivf method-tagged union
+        # (former embedding_topk / lsh_ann_topk / ivf_ann_topk entries);
+        # exact_dedup folded into dedup_keep_docs (algo='exact') — the
+        # freed slots hold semdedup_keep and the other r5 additions
+        # while the total stays at the driver's 50-row cap
+        "ann_topk": q_ann_topk,
+        "semdedup_keep": q_semdedup_keep,
         "json_containment": q_json_containment,
         "dedup_keep_docs": q_dedup_keep_docs,
         "simhash_dup_candidates": q_simhash_dup_candidates,

@@ -51,8 +51,10 @@ HEADLINE = [
     "minhash_candidates",
     "ngram_jaccard_pairs",
     "simhash",
-    "embedding_topk",
-    "lsh_ann_topk",
+    # r5 merge: ann_topk = the former embedding_topk + lsh_ann_topk
+    # (+ ivf) in one method-tagged query — cross-round comparisons
+    # should read ann_topk ≈ embedding_topk + lsh_ann_topk + ivf cost
+    "ann_topk",
     "text_stats",  # r5: now includes the former repetition_stats columns
     # r3 curation queries
     "pii_redaction",

@@ -1,0 +1,141 @@
+"""SemDeDup — semantic deduplication via embedding-cluster bucketing
+(Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+through semantic deduplication").
+
+The published recipe: k-means the corpus embeddings, compute pairwise
+cosine similarity ONLY within each cluster, connect pairs above a
+threshold into duplicate groups, and keep one representative per group
+— the member LEAST similar to its cluster centroid (low-similarity
+"edge" examples carry the most training signal), ties broken by id.
+
+Why this shape scales to 100 TB:
+
+* candidate generation is an **equi-join on ``list_id``** — the only
+  quadratic work is within a cluster, and the cluster count is chosen
+  so clusters stay bounded (the paper uses ~sqrt(n) clusters; here
+  ``n_lists`` is the caller's knob via the injected/trained centers).
+  A skewed quantizer is caught LOUDLY: per-cluster sizes are counted
+  first (an ``n_lists``-row aggregate, config-sized, never data-sized)
+  and any cluster above ``max_cluster_rows`` raises with the cluster id
+  instead of silently submitting a quadratic join.
+* assignment reuses :func:`operators.similarity.ivf_assign` — one
+  narrow map over centroid literals, no shuffle; at production scale
+  the centers come from ``ivf_index``'s sampled KMeans, for the
+  SQL-replayable oracle path they are injected fixture vectors (the
+  same two-quantizer split the IVF ANN operator uses).
+* duplicate groups reuse :func:`operators.components.connected_components`
+  (confirmed-convergence hash-to-min; near-dup cliques converge in ~3
+  rounds).
+* the representative choice is order-free: the centroid similarity is
+  QUANTIZED (``floor(1e6·cos + 0.5)`` — IEEE ops on identical inputs
+  are correctly rounded, so Spark and DuckDB produce the same BIGINT)
+  before the per-group ``row_number``, making the argmin deterministic
+  under any partitioning and exactly replayable by the oracle.
+
+Reference parity: the reference dedups logs by exact message identity
+only (``/root/reference/src/core/dedup.py`` analog, SURVEY §2 A4);
+SemDeDup is the embedding-space generalization a training-data
+pipeline needs (task brief: "embedding-cosine near-dup" at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sherlog_parser_spark.operators.components import connected_components
+from sherlog_parser_spark.operators.similarity import cosine_expr, ivf_assign
+
+
+def semdedup(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_rows: int = 100_000,
+    quantum: float = 1e6,
+    persist: bool = True,
+) -> DataFrame:
+    """(id_col, list_id, kept) for every input vector.
+
+    ``kept`` is false exactly for vectors that belong to a within-cluster
+    duplicate group (connected component of pairs with cosine >=
+    ``threshold``) and are NOT its representative (min (cent_q, id),
+    where cent_q is the quantized similarity to the cluster centroid —
+    the LEAST centroid-similar member survives, per the paper).
+
+    ``centroids`` are injected (deterministic fixture vectors for the
+    oracle path, ``ivf_index`` KMeans centers at scale).  Raises when
+    any cluster exceeds ``max_cluster_rows`` — resize ``n_lists``
+    rather than letting one hot cluster go quadratic.
+    """
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+
+    # loud skew guard: n_lists rows to the driver, never data-sized
+    sizes = assigned.groupBy("list_id").count().collect()
+    hot = [(r["list_id"], r["count"]) for r in sizes if r["count"] > max_cluster_rows]
+    if hot:
+        lid, n = max(hot, key=lambda t: t[1])
+        raise ValueError(
+            f"semdedup: cluster {lid} holds {n} vectors "
+            f"(> max_cluster_rows={max_cluster_rows}); the within-cluster "
+            f"pair join would be quadratic in that cluster — train more "
+            f"centers (n_lists ~ corpus_size / target_cluster_rows) or "
+            f"raise the bound explicitly"
+        )
+
+    cent_of = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    base = assigned.select(
+        F.col(id_col).alias("__id"),
+        "list_id",
+        F.col(vec_col).alias("__v"),
+        F.floor(
+            F.lit(float(quantum))
+            * cosine_expr(F.col(vec_col), F.element_at(cent_of, F.col("list_id") + 1))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("cent_q"),
+    )
+    if persist:
+        # consumed by the pair join (twice) and the output; callers pass
+        # persist=False for one-shot shapes with no unpersist point
+        # (e.g. the oracle query — assignment is a cheap narrow map)
+        base = base.persist()
+    try:
+        a = base.select("list_id", F.col("__id").alias("id_a"), F.col("__v").alias("va"))
+        b = base.select("list_id", F.col("__id").alias("id_b"), F.col("__v").alias("vb"))
+        pairs = (
+            a.join(b, "list_id")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(cosine_expr(F.col("va"), F.col("vb")) >= F.lit(float(threshold)))
+            .select("id_a", "id_b")
+        )
+        comps = connected_components(pairs, "id_a", "id_b")
+
+        w = Window.partitionBy("component").orderBy("cent_q", "__id")
+        members = (
+            base.join(comps.withColumnRenamed("id", "__id"), "__id")
+            .withColumn("__rk", F.row_number().over(w))
+            .select("__id", (F.col("__rk") == 1).alias("kept"))
+        )
+        out = (
+            base.join(members, "__id", "left")
+            .select(
+                F.col("__id").alias(id_col),
+                "list_id",
+                F.coalesce(F.col("kept"), F.lit(True)).alias("kept"),
+            )
+            .orderBy(id_col)
+        )
+        # materialization happens in the caller's action; hand them the
+        # release hook instead of unpersisting under a lazy frame
+        out.release = base.unpersist if persist else (lambda: None)
+        return out
+    except Exception:
+        if persist:
+            base.unpersist()
+        raise
