@@ -647,6 +647,35 @@ def q_quality_filter(spark, sf_dir):
     )
 
 
+def q_line_filter(spark, sf_dir):
+    """C4-style line-level boilerplate removal.  The synthetic docs are
+    single-line word soup, so each doc is first rebuilt as deterministic
+    multi-line text (6-word lines, terminal punctuation cycling
+    '.'/''/'?' by line index — built identically in the oracle SQL):
+    lines then fail the word-count rule (ragged tail), the terminal
+    rule (every 3k+2nd line), or the blocklist ('spark' is a fixture
+    vocabulary word), and kept_text/doc_kept are value-compared."""
+    from sherlog_parser_spark.functions.linefilter import line_filter
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
+    d = docs.withColumn("_tk", toks).withColumn(
+        "_nl", F.expr("cast((size(_tk) + 5) div 6 as int)")
+    )
+    punct = F.array(F.lit("."), F.lit(""), F.lit("?"))
+    mk_line = lambda i: F.concat(  # noqa: E731
+        F.array_join(F.slice(F.col("_tk"), (i - 1) * 6 + 1, F.lit(6)), " "),
+        F.element_at(punct, ((i - 1) % 3) + 1),
+    )
+    # sequence(1, 0) is DESCENDING in Spark — guard empty docs
+    lines = F.when(
+        F.col("_nl") >= 1,
+        F.transform(F.sequence(F.lit(1), F.col("_nl")), mk_line),
+    ).otherwise(F.array().cast("array<string>"))
+    ml = d.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    return line_filter(ml, min_words=3, blocklist=("spark",)).orderBy("doc_id")
+
+
 def q_pii_redaction(spark, sf_dir):
     """PII counts + ordered-replace redaction.  The synthetic docs carry
     no PII, so each doc is decorated with deterministic doc_id-derived
@@ -1605,6 +1634,30 @@ def _oracle_sqls() -> dict[str, str]:
             "ELSE 'keep' END AS reason FROM rep JOIN w USING (doc_id)) "
             "SELECT doc_id, reason, reason = 'keep' AS keep FROM r"
         ),
+        # line_filter: the same deterministic multi-line rebuild (6-word
+        # lines, '.'/''/'?' punctuation cycle) then the C4 line rules —
+        # >=3 words, terminal punctuation on the rtrimmed line, no
+        # blocklist hit ('spark') — replayed with engine-exact string
+        # primitives (split-on-space, ends_with, contains)
+        "line_filter": (
+            "WITH t AS (SELECT doc_id, "
+            "list_filter(string_split(text, ' '), w -> w <> '') AS tk FROM documents), "
+            "ml AS (SELECT doc_id, coalesce(array_to_string("
+            "list_transform(range(1, (len(tk)+5)//6 + 1), i -> "
+            "array_to_string(tk[(i-1)*6+1:(i-1)*6+6], ' ') || "
+            "(CASE ((i-1) % 3) WHEN 0 THEN '.' WHEN 1 THEN '' ELSE '?' END)), "
+            "chr(10)), '') AS text FROM t), "
+            "ls AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM ml), "
+            "k AS (SELECT doc_id, text, lines, list_filter(lines, l -> "
+            "len(list_filter(string_split(l, ' '), w -> w <> '')) >= 3 "
+            "AND (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!') "
+            "OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '\"')) "
+            "AND NOT contains(lower(l), 'spark')) AS kept FROM ls) "
+            "SELECT doc_id, coalesce(array_to_string(kept, chr(10)), '') AS kept_text, "
+            "len(lines) AS n_lines, len(kept) AS n_kept, "
+            "(len(kept) >= 1 AND NOT contains(text, '{') AND NOT contains(text, '}')) AS doc_kept "
+            "FROM k ORDER BY doc_id"
+        ),
         # grok_parse: the same grok-shaped line rebuilt in SQL (strftime
         # naive UTC == Spark date_format under the pinned-UTC session),
         # then RE2 regexp_extract per positional group
@@ -1839,6 +1892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "text_stats": q_text_stats,
         "quality_filter": q_quality_filter,
+        "line_filter": q_line_filter,
         "pii_redaction": q_pii_redaction,
         "unicode_nfc": q_unicode_nfc,
         "vocab_top_tokens": q_vocab_top_tokens,

@@ -54,6 +54,21 @@ def main() -> int:
         "bigram-LM score is below this (0 = stage off)",
     )
     ap.add_argument("--lm-vocab", type=int, default=256)
+    ap.add_argument(
+        "--line-filter", action="store_true",
+        help="run the C4 line-level boilerplate stage first "
+        "(functions/linefilter.py defaults; dropped docs take fate "
+        "'line_filtered')",
+    )
+    ap.add_argument(
+        "--line-min-words", type=int, default=3,
+        help="minimum words per surviving line (with --line-filter)",
+    )
+    ap.add_argument(
+        "--line-no-terminal", action="store_true",
+        help="drop the terminal-punctuation line rule (corpora without "
+        "sentence punctuation)",
+    )
     # r5 write-side stages after curation (0 = off):
     ap.add_argument(
         "--mixture-target", type=int, default=0,
@@ -93,6 +108,14 @@ def main() -> int:
             lm_filter=(
                 {"min_avg_score_q": args.lm_min_avg_q, "vocab_size": args.lm_vocab}
                 if args.lm_min_avg_q > 0
+                else None
+            ),
+            line_filter_opts=(
+                {
+                    "min_words": args.line_min_words,
+                    "require_terminal": not args.line_no_terminal,
+                }
+                if args.line_filter
                 else None
             ),
         )

@@ -4,6 +4,8 @@ into ONE DAG with the same checkpointed-commit-group write discipline:
 
     scan documents
       → unicode NFC normalize      (Arrow-batched pandas UDF, optional)
+      → line-level boilerplate cut (optional C4 rules, functions/
+                                    linefilter.py — narrow map, no shuffle)
       → exact dedup                (one shuffle on md5(text), min-id wins)
       → MinHash near-dedup         (banded LSH candidates → connected
                                     components → min-id representative)
@@ -103,6 +105,7 @@ def curation_dag(
     min_tokens: int = 10,
     quality_kwargs: dict | None = None,
     lm_filter: dict | None = None,
+    line_filter_opts: dict | None = None,
     persist_intermediates: bool = True,
     persist_registry: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
@@ -111,8 +114,16 @@ def curation_dag(
     * ``cleaned`` — (doc_id, text) survivors, substring-cut and
       PII-redacted;
     * ``ledger`` — one row per INPUT doc: (doc_id, fate) where fate is
-      'kept' | 'exact_dup' | 'near_dup' | 'quality:<reason>' |
-      'contaminated'.
+      'kept' | 'line_filtered' | 'exact_dup' | 'near_dup' |
+      'quality:<reason>' | 'contaminated'.
+
+    ``line_filter_opts`` (optional): kwargs for
+    :func:`functions.linefilter.line_filter` — when given, the C4
+    line-level boilerplate stage runs FIRST (the published order:
+    line cleaning before dedup, so boilerplate lines can't glue
+    otherwise-distinct documents into dup groups); docs whose
+    ``doc_kept`` is false take fate 'line_filtered', survivors carry
+    their ``kept_text`` forward.
 
     ``bench_docs`` (optional): frame with ``text_col`` whose n-gram
     shingles define the decontamination blocklist (broadcast — real
@@ -149,6 +160,18 @@ def curation_dag(
     if nfc:
         nfc_udf = TS.make_nfc_normalize_udf()
         base = base.select("doc_id", nfc_udf("text").alias("text"))
+
+    # optional C4 line-level boilerplate removal (narrow map)
+    if line_filter_opts is not None:
+        from sherlog_parser_spark.functions.linefilter import line_filter
+
+        lf = _reuse(line_filter(base, "text", "doc_id", **line_filter_opts))
+        line_losers = lf.filter(~F.col("doc_kept")).select("doc_id")
+        base = lf.filter(F.col("doc_kept")).select(
+            "doc_id", F.col("kept_text").alias("text")
+        )
+    else:
+        line_losers = None
 
     # exact dedup: min-id winner per md5(text)
     winners = _reuse(
@@ -225,10 +248,15 @@ def curation_dag(
         s6 = s5
 
     # fate ledger: one row per input doc, first-applicable fate
-    all_ids = base.select("doc_id")
-    exact_losers = all_ids.join(winners, "doc_id", "left_anti").select(
+    # (exact losers are counted among the LINE-FILTER SURVIVORS — a doc
+    # dropped by the line stage is 'line_filtered', never 'exact_dup')
+    exact_losers = base.select("doc_id").join(winners, "doc_id", "left_anti").select(
         "doc_id", F.lit("exact_dup").alias("fate")
     )
+    if line_losers is not None:
+        exact_losers = exact_losers.unionByName(
+            line_losers.select("doc_id", F.lit("line_filtered").alias("fate"))
+        )
     ledger = exact_losers.unionByName(
         near_losers.select("doc_id", F.lit("near_dup").alias("fate"))
     ).unionByName(

@@ -137,6 +137,45 @@ def test_curation_dag_lm_filter_stage(spark, corpus):
             assert f == fates0[d]
 
 
+def test_curation_dag_line_filter_stage(spark):
+    """r5: the optional C4 line stage runs FIRST — boilerplate lines are
+    cut before dedup (so doc 2, an exact dup of doc 0's CLEANED text,
+    still deduplicates), fully-boilerplate docs take fate
+    'line_filtered', and surviving text is the newline-join of kept
+    lines."""
+    rows = [
+        (
+            0,
+            "The first proper sentence is here.\n"
+            "We use cookies on this site.\n"
+            "Another good sentence follows it.",
+        ),
+        (1, "nav\nmenu\nfooter"),
+        (
+            2,
+            "The first proper sentence is here.\n"
+            "Another good sentence follows it.",
+        ),
+        (3, "A unique closing paragraph stands alone tonight."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    cleaned, ledger = curation_dag(
+        docs, line_filter_opts={}, min_tokens=5, quality_kwargs=QUALITY
+    )
+    fates = {r["doc_id"]: r["fate"] for r in ledger.collect()}
+    assert fates[1] == "line_filtered"
+    assert fates[2] == "exact_dup"  # dup of 0 only AFTER the cookie line is cut
+    assert fates[0] == "kept" and fates[3] == "kept"
+    assert sorted(fates) == [0, 1, 2, 3]
+    out = {r["doc_id"]: r["text"] for r in cleaned.collect()}
+    # the downstream substring-cut stage tokenizes on whitespace and
+    # rejoins with single spaces, so the kept lines arrive space-joined
+    assert out[0] == (
+        "The first proper sentence is here. Another good sentence follows it."
+    )
+    assert "cookies" not in out[0]
+
+
 def test_curation_pipeline_e2e_and_resume(spark, corpus, tmp_path):
     docs, bench = corpus
     out = str(tmp_path / "curation")
