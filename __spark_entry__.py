@@ -676,6 +676,19 @@ def q_line_filter(spark, sf_dir):
     return line_filter(ml, min_words=3, blocklist=("spark",)).orderBy("doc_id")
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR (Xie et al. 2023) hashed-ngram importance scores: target =
+    the lang='en' documents, raw = all documents; unigram+bigram md5
+    buckets (B=4096), add-one quantized linear-domain probabilities
+    (the operators/lm.py exactness trick), score = Σ f_b·(q_t − q_r)
+    as exact BIGINTs."""
+    from sherlog_parser_spark.operators.dsir import dsir_scores, train_dsir
+
+    docs = _read(spark, sf_dir, "documents")
+    model = train_dsir(docs, docs.filter(F.col("lang") == "en"))
+    return dsir_scores(docs, model).orderBy("doc_id")
+
+
 def q_pii_redaction(spark, sf_dir):
     """PII counts + ordered-replace redaction.  The synthetic docs carry
     no PII, so each doc is decorated with deterministic doc_id-derived
@@ -1658,6 +1671,38 @@ def _oracle_sqls() -> dict[str, str]:
             "(len(kept) >= 1 AND NOT contains(text, '{') AND NOT contains(text, '}')) AS doc_kept "
             "FROM k ORDER BY doc_id"
         ),
+        # dsir_weights: DSIR replay — unigram+bigram md5 buckets, add-one
+        # quantized probabilities, integer score sums (CAST every sum:
+        # DuckDB sum(BIGINT) widens to HUGEINT)
+        "dsir_weights": (
+            f"WITH tk AS (SELECT doc_id, lang, {TS.dd_tokens('text', lower=True)} AS t "
+            "FROM documents), "
+            "gr AS (SELECT doc_id, lang, t || list_transform("
+            "range(1, greatest(len(t) - 1, 0) + 1), i -> t[i] || ' ' || t[i+1]) AS gs "
+            "FROM tk), "
+            "bx AS (SELECT doc_id, lang, "
+            "CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 4096 AS b "
+            "FROM (SELECT doc_id, lang, unnest(gs) AS g FROM gr)), "
+            "tc AS (SELECT b, count(*) AS c FROM bx WHERE lang = 'en' GROUP BY b), "
+            "rc AS (SELECT b, count(*) AS c FROM bx GROUP BY b), "
+            "tt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM tc), "
+            "rt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM rc), "
+            "tq AS (SELECT b, CAST(floor(1.0e6 * (c + 1) / (n + 4096)) AS BIGINT) AS q "
+            "FROM tc, tt), "
+            "rq AS (SELECT b, CAST(floor(1.0e6 * (c + 1) / (n + 4096)) AS BIGINT) AS q "
+            "FROM rc, rt), "
+            "f AS (SELECT doc_id, b, count(*) AS f FROM bx GROUP BY doc_id, b), "
+            "sc AS (SELECT f.doc_id, CAST(sum(f.f) AS BIGINT) AS n_grams, "
+            "CAST(sum(f.f * (coalesce(tq.q, "
+            "(SELECT CAST(floor(1.0e6 * 1 / (n + 4096)) AS BIGINT) FROM tt)) "
+            "- coalesce(rq.q, "
+            "(SELECT CAST(floor(1.0e6 * 1 / (n + 4096)) AS BIGINT) FROM rt)))) AS BIGINT) "
+            "AS dsir_score_q "
+            "FROM f LEFT JOIN tq USING (b) LEFT JOIN rq USING (b) GROUP BY f.doc_id) "
+            "SELECT d.doc_id, coalesce(sc.n_grams, 0) AS n_grams, "
+            "coalesce(sc.dsir_score_q, 0) AS dsir_score_q "
+            "FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id"
+        ),
         # grok_parse: the same grok-shaped line rebuilt in SQL (strftime
         # naive UTC == Spark date_format under the pinned-UTC session),
         # then RE2 regexp_extract per positional group
@@ -1893,6 +1938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "quality_filter": q_quality_filter,
         "line_filter": q_line_filter,
+        "dsir_weights": q_dsir_weights,
         "pii_redaction": q_pii_redaction,
         "unicode_nfc": q_unicode_nfc,
         "vocab_top_tokens": q_vocab_top_tokens,
