@@ -83,6 +83,13 @@ def main() -> int:
         "--seq-len", type=int, default=0,
         help="also write the fixed-length sequence boundary map to <out>/sequences",
     )
+    ap.add_argument(
+        "--bpe-merges", type=int, default=0,
+        help="with --seq-len: train a BPE tokenizer (this many merges) on "
+        "the survivors and write LOADER-READY packed token sequences to "
+        "<out>/packed_tokens (exactly seq-len tokens each, ragged tail "
+        "excepted)",
+    )
     args = ap.parse_args()
 
     from sherlog_parser_spark.plans.curation import run_curation_pipeline
@@ -179,6 +186,27 @@ def main() -> int:
                     spark.read.parquet(f"{args.out}/sequences")
                     .select("seq_id").distinct().count()
                 )
+            if args.seq_len > 0 and args.bpe_merges > 0:
+                from sherlog_parser_spark.operators.bpe import bpe_encode, train_bpe
+                from sherlog_parser_spark.operators.sharding import (
+                    pack_array_sequences,
+                )
+
+                model = train_bpe(survivors, args.text_col, n_merges=args.bpe_merges)
+                enc = bpe_encode(survivors, model.merges, args.text_col, args.id_col)
+                tok_seqs = pack_array_sequences(
+                    enc, "bpe_tokens", args.id_col, seq_len=args.seq_len
+                )
+                (
+                    tok_seqs.repartitionByRange(F.col("seq_id"))
+                    .write.mode("overwrite")
+                    .parquet(f"{args.out}/packed_tokens")
+                )
+                tok_seqs.release()
+                packing["n_packed_token_seqs"] = (
+                    spark.read.parquet(f"{args.out}/packed_tokens").count()
+                )
+                packing["bpe_merges_learned"] = len(model.merges)
         print(
             json.dumps(
                 {

@@ -209,3 +209,64 @@ def pack_sequences(
     )
     out.release = release
     return out
+
+
+def pack_array_sequences(
+    df: DataFrame,
+    arr_col: str,
+    order_col: str = "doc_id",
+    seq_len: int = 2048,
+    n_range_partitions: int | None = None,
+) -> DataFrame:
+    """Materialize the PACKED SEQUENCES themselves: lay the per-row
+    arrays (token ids from any tokenizer — e.g. ``bpe_encode``'s
+    ``bpe_tokens``) end-to-end in global ``order_col`` order and emit
+    one row per fixed-length sequence:
+
+    - ``seq_id``   — 0-based global sequence index;
+    - ``tokens``   — exactly ``seq_len`` elements (the final sequence
+      may be shorter — the ragged tail);
+    - ``n_tokens`` — ``size(tokens)``;
+    - ``n_docs``   — how many documents contributed pieces.
+
+    Composition of :func:`pack_sequences`' boundary map with per-piece
+    ``slice`` + one groupBy(seq_id): the only data-sized movements are
+    the range partitioning of the corpus and the sequence-assembly
+    shuffle whose key (seq_id) is uniform BY CONSTRUCTION (every key
+    holds exactly ``seq_len`` tokens — no skew possible).  Pieces are
+    reassembled in ``seq_offset`` order via array_sort over
+    (seq_offset, piece) structs — offsets are unique within a
+    sequence, so the sort is total and deterministic.
+
+    Returns the frame with the inherited ``.release()`` hook (drop the
+    persisted range-partitioned intermediate after the sink is
+    written)."""
+    size_col = "__n_arr"
+    base = df.withColumn(size_col, F.size(F.col(arr_col)))
+    pieces = pack_sequences(base, size_col, order_col, seq_len, n_range_partitions)
+    sl = pieces.select(
+        "seq_id",
+        F.col(order_col),
+        F.struct(
+            F.col("seq_offset").alias("o"),
+            F.slice(
+                F.col(arr_col),
+                (F.col("doc_offset") + 1).cast("int"),
+                F.col("piece_len").cast("int"),
+            ).alias("p"),
+        ).alias("_piece"),
+    )
+    out = (
+        sl.groupBy("seq_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list("_piece")), lambda s: s["p"]
+                )
+            ).alias("tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .withColumn("n_tokens", F.size("tokens"))
+    )
+    out.release = pieces.release
+    return out
