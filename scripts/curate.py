@@ -69,6 +69,20 @@ def main() -> int:
         help="drop the terminal-punctuation line rule (corpora without "
         "sentence punctuation)",
     )
+    ap.add_argument(
+        "--embeddings", default=None,
+        help="embeddings parquet for the SemDeDup semantic-dedup stage "
+        "(joined to documents by id)",
+    )
+    ap.add_argument("--embeddings-id-col", default="vec_id")
+    ap.add_argument(
+        "--semdedup-threshold", type=float, default=0.95,
+        help="within-cluster cosine threshold for semantic duplicates",
+    )
+    ap.add_argument(
+        "--semdedup-lists", type=int, default=16,
+        help="KMeans cluster count for the SemDeDup quantizer",
+    )
     # r5 write-side stages after curation (0 = off):
     ap.add_argument(
         "--mixture-target", type=int, default=0,
@@ -123,6 +137,16 @@ def main() -> int:
                     "require_terminal": not args.line_no_terminal,
                 }
                 if args.line_filter
+                else None
+            ),
+            semdedup_opts=(
+                {
+                    "embeddings": spark.read.parquet(args.embeddings)
+                    .withColumnRenamed(args.embeddings_id_col, args.id_col),
+                    "centroids": args.semdedup_lists,
+                    "threshold": args.semdedup_threshold,
+                }
+                if args.embeddings
                 else None
             ),
         )

@@ -9,6 +9,9 @@ into ONE DAG with the same checkpointed-commit-group write discipline:
       → exact dedup                (one shuffle on md5(text), min-id wins)
       → MinHash near-dedup         (banded LSH candidates → connected
                                     components → min-id representative)
+      → SemDeDup semantic dedup    (optional, operators/semdedup.py —
+                                    embedding-cluster-bucketed cosine
+                                    groups, keep the centroid-farthest)
       → substring cuts             (cross-doc repeated n-gram spans
                                     merged + removed, Lee et al. 2022)
       → quality filter             (Gopher-style first-failing-rule)
@@ -106,6 +109,7 @@ def curation_dag(
     quality_kwargs: dict | None = None,
     lm_filter: dict | None = None,
     line_filter_opts: dict | None = None,
+    semdedup_opts: dict | None = None,
     persist_intermediates: bool = True,
     persist_registry: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
@@ -115,7 +119,7 @@ def curation_dag(
       PII-redacted;
     * ``ledger`` — one row per INPUT doc: (doc_id, fate) where fate is
       'kept' | 'line_filtered' | 'exact_dup' | 'near_dup' |
-      'quality:<reason>' | 'contaminated'.
+      'semantic_dup' | 'quality:<reason>' | 'contaminated'.
 
     ``line_filter_opts`` (optional): kwargs for
     :func:`functions.linefilter.line_filter` — when given, the C4
@@ -124,6 +128,16 @@ def curation_dag(
     otherwise-distinct documents into dup groups); docs whose
     ``doc_kept`` is false take fate 'line_filtered', survivors carry
     their ``kept_text`` forward.
+
+    ``semdedup_opts`` (optional): the SemDeDup semantic stage (Abbas
+    et al. 2023) after lexical near-dedup — ``{"embeddings": frame
+    with (id, vector), "centroids": list[list[float]] | int,
+    "threshold": float[, "vec_col", "max_cluster_rows"]}``.  An int
+    ``centroids`` trains a seeded KMeans quantizer
+    (similarity.ivf_index) on the survivors' vectors; a list injects
+    deterministic centers.  Docs whose vector loses its duplicate
+    group take fate 'semantic_dup'; docs WITHOUT a vector pass
+    through untouched (embeddings may cover only part of the corpus).
 
     ``bench_docs`` (optional): frame with ``text_col`` whose n-gram
     shingles define the decontamination blocklist (broadcast — real
@@ -189,6 +203,33 @@ def curation_dag(
         comps.filter(F.col("id") != F.col("component")).select(F.col("id").alias("doc_id"))
     )
     s2 = s1.join(near_losers, "doc_id", "left_anti")
+
+    # optional SemDeDup semantic near-dedup over the lexical survivors
+    if semdedup_opts is not None:
+        from sherlog_parser_spark.operators.semdedup import semdedup
+
+        vec_col = semdedup_opts.get("vec_col", "embedding")
+        emb = semdedup_opts["embeddings"].join(
+            s2.select("doc_id"), "doc_id", "left_semi"
+        )
+        cents = semdedup_opts["centroids"]
+        if isinstance(cents, int):
+            from sherlog_parser_spark.operators.similarity import ivf_index
+
+            _, cents = ivf_index(emb, n_lists=cents, id_col="doc_id", vec_col=vec_col)
+        sem = semdedup(
+            emb,
+            cents,
+            threshold=float(semdedup_opts.get("threshold", 0.95)),
+            id_col="doc_id",
+            vec_col=vec_col,
+            max_cluster_rows=int(semdedup_opts.get("max_cluster_rows", 100_000)),
+            persist=False,
+        )
+        sem_losers = _reuse(sem.filter(~F.col("kept")).select("doc_id"))
+        s2 = s2.join(sem_losers, "doc_id", "left_anti")
+    else:
+        sem_losers = None
 
     # substring cuts (cross-doc repeated n-grams among survivors)
     cut = substring_dedup_cut(s2, n=ngram, min_docs=span_min_docs)
@@ -259,7 +300,12 @@ def curation_dag(
         )
     ledger = exact_losers.unionByName(
         near_losers.select("doc_id", F.lit("near_dup").alias("fate"))
-    ).unionByName(
+    )
+    if sem_losers is not None:
+        ledger = ledger.unionByName(
+            sem_losers.select("doc_id", F.lit("semantic_dup").alias("fate"))
+        )
+    ledger = ledger.unionByName(
         quality_losers.select(
             "doc_id", F.concat(F.lit("quality:"), F.col("_reason")).alias("fate")
         )
@@ -317,16 +363,28 @@ def run_curation_pipeline(
     # way _run_fingerprint normalizes the input's
     import re as _re
 
-    bench_plan = (
-        _re.sub(r"#\d+", "#", bench_docs._jdf.queryExecution().analyzed().toString())
-        if bench_docs is not None
-        else None
-    )
+    def _norm_plan(frame):
+        return _re.sub(r"#\d+", "#", frame._jdf.queryExecution().analyzed().toString())
+
+    bench_plan = _norm_plan(bench_docs) if bench_docs is not None else None
+
+    def _fp_value(v):
+        """Auxiliary DataFrames inside option dicts (e.g. semdedup's
+        embeddings) must contribute their normalized PLAN to the run
+        identity — str(DataFrame) is schema-only and would let two
+        different embedding tables resume into each other (the r4
+        bench_docs lesson)."""
+        if isinstance(v, DataFrame):
+            return _norm_plan(v)
+        if isinstance(v, dict):
+            return {k: _fp_value(x) for k, x in sorted(v.items())}
+        return str(v)
+
     run_fp = _run_fingerprint(
         docs,
         {"kind": "curation", "n_buckets": n_buckets, "commit_groups": commit_groups,
          "bench_plan": bench_plan,
-         **{k: str(v) for k, v in dag_kwargs.items()}},
+         **{k: str(_fp_value(v)) for k, v in dag_kwargs.items()}},
     )
     if resume:
         manifest = CheckpointManifest.load(manifest_path)

@@ -176,6 +176,43 @@ def test_curation_dag_line_filter_stage(spark):
     assert "cookies" not in out[0]
 
 
+def test_curation_dag_semdedup_stage(spark, corpus):
+    """r5: the optional SemDeDup stage drops the centroid-nearer member
+    of a within-cluster high-cosine pair (fate 'semantic_dup') from the
+    LEXICAL survivors; docs without vectors pass through untouched."""
+    docs, bench = corpus
+    # vectors: 20 and 40 are near-identical (same cluster, cos ~1);
+    # everyone else orthogonal-ish.  Docs 0/10/21 get distinct vectors,
+    # the rest have none.
+    emb_rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (10, [0.0, 1.0, 0.0, 0.0]),
+        (20, [0.0, 0.0, 1.0, 0.004]),
+        (40, [0.0, 0.0, 1.0, 0.0]),
+        (21, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(emb_rows, "doc_id INT, embedding array<float>")
+    centroids = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+                 [0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.0, 1.0]]
+    _, ledger0 = curation_dag(docs, bench_docs=bench, quality_kwargs=QUALITY)
+    fates0 = {r["doc_id"]: r["fate"] for r in ledger0.collect()}
+    _, ledger = curation_dag(
+        docs,
+        bench_docs=bench,
+        quality_kwargs=QUALITY,
+        semdedup_opts={"embeddings": emb, "centroids": centroids, "threshold": 0.95},
+    )
+    fates = {r["doc_id"]: r["fate"] for r in ledger.collect()}
+    # 20 and 40 are a semantic pair; the keeper is the LEAST
+    # centroid-similar member = 20 (its 0.004 wobble), so 40 drops
+    assert fates[40] == "semantic_dup"
+    assert fates[20] == fates0[20]
+    assert sorted(fates) == sorted(fates0)  # ledger still total
+    for d, f in fates.items():
+        if d != 40:
+            assert f == fates0[d], d
+
+
 def test_curation_pipeline_e2e_and_resume(spark, corpus, tmp_path):
     docs, bench = corpus
     out = str(tmp_path / "curation")
