@@ -647,16 +647,10 @@ def q_quality_filter(spark, sf_dir):
     )
 
 
-def q_line_filter(spark, sf_dir):
-    """C4-style line-level boilerplate removal.  The synthetic docs are
-    single-line word soup, so each doc is first rebuilt as deterministic
-    multi-line text (6-word lines, terminal punctuation cycling
-    '.'/''/'?' by line index — built identically in the oracle SQL):
-    lines then fail the word-count rule (ragged tail), the terminal
-    rule (every 3k+2nd line), or the blocklist ('spark' is a fixture
-    vocabulary word), and kept_text/doc_kept are value-compared."""
-    from sherlog_parser_spark.functions.linefilter import line_filter
-
+def _synth_multiline(spark, sf_dir):
+    """Deterministic multi-line rebuild of the single-line fixture docs:
+    6-word lines with terminal punctuation cycling '.'/''/'?' by line
+    index — built identically in the oracle SQL."""
     docs = _read(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
     d = docs.withColumn("_tk", toks).withColumn(
@@ -672,8 +666,45 @@ def q_line_filter(spark, sf_dir):
         F.col("_nl") >= 1,
         F.transform(F.sequence(F.lit(1), F.col("_nl")), mk_line),
     ).otherwise(F.array().cast("array<string>"))
-    ml = d.select("doc_id", F.array_join(lines, "\n").alias("text"))
-    return line_filter(ml, min_words=3, blocklist=("spark",)).orderBy("doc_id")
+    return d.select("doc_id", F.array_join(lines, "\n").alias("text"))
+
+
+def q_text_cleaning(spark, sf_dir):
+    """Both line-granular text-cleaning stages, method-tagged on one
+    shared schema:
+
+    * 'line_filter' — C4 boilerplate rules over the synthesized
+      multi-line text: lines fail the word-count rule (ragged tail),
+      the terminal rule (every 3k+2nd line), or the blocklist ('spark'
+      is a fixture vocabulary word);
+    * 'paragraph_dedup' — CCNet corpus-global paragraph dedup over the
+      same text plus a COMMON FOOTER line planted on every doc: only
+      the first (min doc_id) occurrence of the footer — and of any
+      organically repeated 6-word line — survives.
+    """
+    from sherlog_parser_spark.functions.linefilter import line_filter
+
+    ml = _synth_multiline(spark, sf_dir)
+    lf = line_filter(ml, min_words=3, blocklist=("spark",)).select(
+        F.lit("line_filter").alias("method"),
+        "doc_id",
+        "kept_text",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        "doc_kept",
+    )
+    ml2 = ml.select(
+        "doc_id", F.concat("text", F.lit("\nvisit our homepage today.")).alias("text")
+    )
+    pd_ = DD.paragraph_dedup(ml2).select(
+        F.lit("paragraph_dedup").alias("method"),
+        "doc_id",
+        "kept_text",
+        F.col("n_paragraphs").cast("long").alias("n_lines"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        "doc_kept",
+    )
+    return lf.unionAll(pd_)
 
 
 def q_dsir_weights(spark, sf_dir):
@@ -1647,12 +1678,15 @@ def _oracle_sqls() -> dict[str, str]:
             "ELSE 'keep' END AS reason FROM rep JOIN w USING (doc_id)) "
             "SELECT doc_id, reason, reason = 'keep' AS keep FROM r"
         ),
-        # line_filter: the same deterministic multi-line rebuild (6-word
-        # lines, '.'/''/'?' punctuation cycle) then the C4 line rules —
-        # >=3 words, terminal punctuation on the rtrimmed line, no
-        # blocklist hit ('spark') — replayed with engine-exact string
-        # primitives (split-on-space, ends_with, contains)
-        "line_filter": (
+        # text_cleaning: the deterministic multi-line rebuild (6-word
+        # lines, '.'/''/'?' punctuation cycle), then BOTH line-granular
+        # stages — the C4 line rules (>=3 words, terminal punctuation
+        # on the rtrimmed line, no blocklist hit 'spark'; engine-exact
+        # string primitives) and CCNet paragraph dedup over the same
+        # text plus a planted common footer (first (doc_id, pos)
+        # occurrence of each paragraph wins; empty paragraphs never
+        # dedup)
+        "text_cleaning": (
             "WITH t AS (SELECT doc_id, "
             "list_filter(string_split(text, ' '), w -> w <> '') AS tk FROM documents), "
             "ml AS (SELECT doc_id, coalesce(array_to_string("
@@ -1665,11 +1699,28 @@ def _oracle_sqls() -> dict[str, str]:
             "len(list_filter(string_split(l, ' '), w -> w <> '')) >= 3 "
             "AND (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!') "
             "OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '\"')) "
-            "AND NOT contains(lower(l), 'spark')) AS kept FROM ls) "
-            "SELECT doc_id, coalesce(array_to_string(kept, chr(10)), '') AS kept_text, "
+            "AND NOT contains(lower(l), 'spark')) AS kept FROM ls), "
+            "ml2 AS (SELECT doc_id, text || chr(10) || 'visit our homepage today.' "
+            "AS text FROM ml), "
+            "ls2 AS (SELECT doc_id, string_split(text, chr(10)) AS ps FROM ml2), "
+            "pi AS (SELECT doc_id, u.pos AS pos, u.s AS para FROM ls2, "
+            "unnest(list_transform(range(1, len(ps)+1), i -> {'pos': i-1, 's': ps[i]})) AS r(u)), "
+            "rk AS (SELECT doc_id, pos, para, "
+            "row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rk FROM pi), "
+            "tot AS (SELECT doc_id, count(*) AS n_paragraphs FROM pi GROUP BY doc_id), "
+            "kp AS (SELECT doc_id, pos, para FROM rk WHERE rk = 1 OR para = ''), "
+            "rb AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS kept_text, "
+            "count(*) AS n_kept FROM kp GROUP BY doc_id) "
+            "SELECT 'line_filter' AS method, doc_id, "
+            "coalesce(array_to_string(kept, chr(10)), '') AS kept_text, "
             "len(lines) AS n_lines, len(kept) AS n_kept, "
             "(len(kept) >= 1 AND NOT contains(text, '{') AND NOT contains(text, '}')) AS doc_kept "
-            "FROM k ORDER BY doc_id"
+            "FROM k "
+            "UNION ALL "
+            "SELECT 'paragraph_dedup' AS method, t2.doc_id, "
+            "coalesce(rb.kept_text, '') AS kept_text, t2.n_paragraphs AS n_lines, "
+            "coalesce(rb.n_kept, 0) AS n_kept, coalesce(rb.n_kept, 0) > 0 AS doc_kept "
+            "FROM tot t2 LEFT JOIN rb USING (doc_id)"
         ),
         # dsir_weights: DSIR replay — unigram+bigram md5 buckets, add-one
         # quantized probabilities, integer score sums (CAST every sum:
@@ -1937,7 +1988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "text_stats": q_text_stats,
         "quality_filter": q_quality_filter,
-        "line_filter": q_line_filter,
+        "text_cleaning": q_text_cleaning,
         "dsir_weights": q_dsir_weights,
         "pii_redaction": q_pii_redaction,
         "unicode_nfc": q_unicode_nfc,

@@ -516,3 +516,68 @@ def embedding_near_dups_lsh(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = False,
+) -> DataFrame:
+    """CCNet-style corpus-global PARAGRAPH dedup (Wenzek et al. 2020,
+    §3.1: "we deduplicate at the paragraph level … keeping one copy"):
+    every newline-separated paragraph that appears elsewhere in the
+    corpus is removed except its FIRST occurrence (min (doc_id,
+    position) — a total order, so the winner is partition-invariant).
+
+    Returns (id_col, kept_text, n_paragraphs, n_kept, doc_kept) —
+    the same shape as functions.linefilter.line_filter so the two
+    text-cleaning stages share one oracle query.
+
+    Scale shape: posexplode → ONE shuffle keyed by paragraph content
+    (row_number over the paragraph partition — cardinality is
+    corpus-paragraphs, no hot funnel; a pathological mega-paragraph-
+    count key is the duplicate itself and collapses to rank-1 anyway)
+    → groupBy(doc) rebuild.  No driver-side state.
+
+    ``normalize=True`` dedups on the lowercased/trimmed paragraph
+    (CCNet normalizes before hashing) while emitting the ORIGINAL
+    text.  Empty paragraphs (blank separator lines) are never deduped.
+    """
+    from pyspark.sql import Window
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    inst = docs.select(
+        F.col(id_col).alias("__id"), F.posexplode(F.split(txt, "\n")).alias("pos", "para")
+    )
+    key = F.lower(F.trim(F.col("para"))) if normalize else F.col("para")
+    w = Window.partitionBy(key.alias("__k")).orderBy("__id", "pos")
+    ranked = inst.withColumn("__rk", F.row_number().over(w))
+    kept = ranked.filter((F.col("__rk") == 1) | (key == F.lit("")))
+    rebuilt = (
+        ranked.groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_paragraphs"))
+        .join(
+            kept.groupBy("__id").agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("pos"), F.col("para")))
+                        ),
+                        lambda s: s["para"],
+                    ),
+                    "\n",
+                ).alias("kept_text"),
+                F.count(F.lit(1)).alias("n_kept"),
+            ),
+            "__id",
+            "left",
+        )
+    )
+    return rebuilt.select(
+        F.col("__id").alias(id_col),
+        F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+        "n_paragraphs",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        (F.coalesce(F.col("n_kept"), F.lit(0)) > 0).alias("doc_kept"),
+    )

@@ -47,6 +47,47 @@ from sherlog_parser_spark.operators.components import connected_components
 from sherlog_parser_spark.operators.similarity import cosine_expr, ivf_assign
 
 
+def _numpy_cluster_pairs(base: DataFrame, threshold: float) -> DataFrame:
+    """(id_a, id_b) within-cluster pairs with cosine >= threshold via
+    one Arrow-batched grouped-map per cluster: normalize once, then
+    row-block matmul slabs (~128 MB transient) against the cluster —
+    never the full n×n similarity matrix at once."""
+    import numpy as np
+    import pandas as pd
+
+    def find_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["__id"].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        X = np.array(pdf["__v"].tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(X, axis=1)
+        nrm[nrm == 0] = 1.0
+        Xn = X / nrm[:, None]
+        blk = max(1, int(128 * 1024 * 1024 // (8 * n)))
+        out_a, out_b = [], []
+        for s in range(0, n, blk):
+            S = Xn[s : s + blk] @ Xn.T
+            ii, jj = np.nonzero(S >= threshold)
+            gi = ii + s
+            keep = jj > gi  # strict upper triangle in global positions
+            if keep.any():
+                a, b = ids[gi[keep]], ids[jj[keep]]
+                out_a.append(np.minimum(a, b))
+                out_b.append(np.maximum(a, b))
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    return (
+        base.select("list_id", "__id", "__v")
+        .groupBy("list_id")
+        .applyInPandas(find_pairs, "id_a long, id_b long")
+    )
+
+
 def semdedup(
     emb: DataFrame,
     centroids: list[list[float]],
@@ -56,6 +97,8 @@ def semdedup(
     max_cluster_rows: int = 100_000,
     quantum: float = 1e6,
     persist: bool = True,
+    assigned: DataFrame | None = None,
+    pair_impl: str = "expr",
 ) -> DataFrame:
     """(id_col, list_id, kept) for every input vector.
 
@@ -69,8 +112,30 @@ def semdedup(
     oracle path, ``ivf_index`` KMeans centers at scale).  Raises when
     any cluster exceeds ``max_cluster_rows`` — resize ``n_lists``
     rather than letting one hot cluster go quadratic.
+
+    ``assigned`` (optional): a frame already carrying ``list_id``
+    (e.g. ``ivf_index``'s KMeans ``model.transform`` output — the
+    scale path: at hundreds of centers the JVM vectorized assignment
+    beats re-deriving a centroids-sized expression quantizer, whose
+    plan grows with n_lists × dims).  ``centroids`` must be the SAME
+    centers in list_id order — they are still used for the
+    keeper-selection centroid similarity.
+
+    ``pair_impl``: 'expr' (default) generates within-cluster pairs via
+    the JVM fold cosine — bit-exactly SQL-replayable, the oracle path.
+    'numpy' runs an Arrow-batched ``applyInPandas`` per cluster with a
+    row-block matmul (~128 MB slabs, the dbscan_numpy discipline) —
+    the SCALE path: the interpreted HOF fold costs ~dims lambda evals
+    per candidate pair, while BLAS does the whole cluster at memory
+    bandwidth.  Pair membership may differ from 'expr' only for pairs
+    within float-accumulation distance (~1e-15) of the threshold —
+    keeper selection and the oracle stay on quantized expression
+    values either way.
     """
-    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    if pair_impl not in ("expr", "numpy"):
+        raise ValueError(f"pair_impl must be 'expr' or 'numpy', got {pair_impl!r}")
+    if assigned is None:
+        assigned = ivf_assign(emb, centroids, id_col, vec_col)
 
     # loud skew guard: n_lists rows to the driver, never data-sized
     sizes = assigned.groupBy("list_id").count().collect()
@@ -106,14 +171,23 @@ def semdedup(
         # (e.g. the oracle query — assignment is a cheap narrow map)
         base = base.persist()
     try:
-        a = base.select("list_id", F.col("__id").alias("id_a"), F.col("__v").alias("va"))
-        b = base.select("list_id", F.col("__id").alias("id_b"), F.col("__v").alias("vb"))
-        pairs = (
-            a.join(b, "list_id")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .filter(cosine_expr(F.col("va"), F.col("vb")) >= F.lit(float(threshold)))
-            .select("id_a", "id_b")
-        )
+        if pair_impl == "numpy":
+            pairs = _numpy_cluster_pairs(base, float(threshold))
+        else:
+            a = base.select(
+                "list_id", F.col("__id").alias("id_a"), F.col("__v").alias("va")
+            )
+            b = base.select(
+                "list_id", F.col("__id").alias("id_b"), F.col("__v").alias("vb")
+            )
+            pairs = (
+                a.join(b, "list_id")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .filter(
+                    cosine_expr(F.col("va"), F.col("vb")) >= F.lit(float(threshold))
+                )
+                .select("id_a", "id_b")
+            )
         comps = connected_components(pairs, "id_a", "id_b")
 
         w = Window.partitionBy("component").orderBy("cent_q", "__id")

@@ -103,6 +103,32 @@ def test_semdedup_partition_invariance(spark):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def test_semdedup_preassigned_path_parity(spark):
+    """The scale path (caller-supplied list_id, e.g. KMeans transform)
+    must agree exactly with the internal expression quantizer."""
+    from sherlog_parser_spark.operators.similarity import ivf_assign
+
+    emb = _fixture(spark)
+    rows = [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in emb.collect()]
+    centroids = [v for i, v in rows if i in (3, 17, 42, 77)]
+    pre = ivf_assign(emb, centroids)
+    a = semdedup(emb, centroids, threshold=0.9, persist=False)
+    b = semdedup(emb, centroids, threshold=0.9, persist=False, assigned=pre)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_semdedup_numpy_pairs_parity(spark):
+    """The BLAS scale path agrees with the expression path (fixture
+    similarities sit far from the threshold, so float-accumulation
+    ulps cannot flip membership)."""
+    emb = _fixture(spark)
+    rows = [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in emb.collect()]
+    centroids = [v for i, v in rows if i in (3, 17, 42, 77)]
+    a = semdedup(emb, centroids, threshold=0.9, persist=False)
+    b = semdedup(emb, centroids, threshold=0.9, persist=False, pair_impl="numpy")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
 def test_semdedup_skew_guard_raises(spark):
     emb = _fixture(spark)
     centroids = [[0.0] * 8]  # one list swallows everything
