@@ -65,6 +65,11 @@ HEADLINE = [
     # r4: substring-dedup cut, sessionization + the composed curation chain
     "substring_dedup_apply",
     "session_stats",
+    # r5: line-granular cleaning (C4 line rules + CCNet paragraph
+    # dedup), DSIR importance scores, SemDeDup semantic dedup
+    "text_cleaning",
+    "dsir_weights",
+    "semdedup_keep",
 ]
 
 

@@ -17,7 +17,10 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, ".")
 
 from pyspark.sql import functions as F
 
