@@ -285,3 +285,36 @@ def test_packing_and_interleave_plan_shape(spark):
         assert "BroadcastHashJoin" in plan, name  # driver offsets/decisions
         if release:
             release()
+
+
+def test_r5_selection_ops_plan_shape(spark):
+    """r5 ops: SemDeDup's candidate join is an equi-join on list_id
+    (never cartesian), paragraph dedup shuffles only on the paragraph
+    key + doc rebuild (no nested-loop join anywhere), and DSIR's model
+    joins broadcast the config-sized bucket tables."""
+    from sherlog_parser_spark.operators.dedup import paragraph_dedup
+    from sherlog_parser_spark.operators.dsir import dsir_scores, train_dsir
+    from sherlog_parser_spark.operators.semdedup import semdedup
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 13) for d in range(8)]) for i in range(60)],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    cents = [[float(d % 13) for d in range(8)], [float((3 + d) % 13) for d in range(8)]]
+    sem = semdedup(emb, cents, threshold=0.99, persist=False)
+    plan = _plan(sem)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    docs = spark.createDataFrame(
+        [(i, f"line one {i}\nline two {i}") for i in range(40)],
+        "doc_id INT, text STRING",
+    )
+    plan = _plan(paragraph_dedup(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    model = train_dsir(docs, docs.filter("doc_id < 10"))
+    plan = _plan(dsir_scores(docs, model))
+    assert "BroadcastHashJoin" in plan  # model tables ride broadcast
+    assert "CartesianProduct" not in plan
