@@ -83,6 +83,15 @@ def main() -> int:
         "--semdedup-lists", type=int, default=16,
         help="KMeans cluster count for the SemDeDup quantizer",
     )
+    ap.add_argument(
+        "--classifier", default=None,
+        help="path to a saved quality classifier (operators/classifier."
+        "save_classifier); enables the distilled-filter stage",
+    )
+    ap.add_argument(
+        "--classifier-min-prob", type=float, default=0.5,
+        help="drop docs whose quality probability is below this",
+    )
     # r5 write-side stages after curation (0 = off):
     ap.add_argument(
         "--mixture-target", type=int, default=0,
@@ -108,6 +117,11 @@ def main() -> int:
 
     from sherlog_parser_spark.plans.curation import run_curation_pipeline
     from sherlog_parser_spark.session import get_spark
+
+    def _load_clf(spark, path, min_prob):
+        from sherlog_parser_spark.operators.classifier import load_classifier
+
+        return {"clf": load_classifier(spark, path), "min_prob": min_prob}
 
     spark = get_spark("sherlog-curate", master=args.master)
     try:
@@ -147,6 +161,11 @@ def main() -> int:
                     "threshold": args.semdedup_threshold,
                 }
                 if args.embeddings
+                else None
+            ),
+            classifier_filter=(
+                _load_clf(spark, args.classifier, args.classifier_min_prob)
+                if args.classifier
                 else None
             ),
         )

@@ -17,6 +17,9 @@ into ONE DAG with the same checkpointed-commit-group write discipline:
       → quality filter             (Gopher-style first-failing-rule)
       → LM filter                  (optional CCNet-style bigram-LM
                                     score threshold, operators/lm.py)
+      → classifier filter          (optional distilled quality model,
+                                    operators/classifier.py — narrow
+                                    scoring map, coefficients broadcast)
       → PII redaction              (ordered regexp_replace chain)
       → decontamination            (broadcast benchmark shingle set)
       → bucketed, checkpointed parquet sink + per-doc fate ledger
@@ -110,6 +113,7 @@ def curation_dag(
     lm_filter: dict | None = None,
     line_filter_opts: dict | None = None,
     semdedup_opts: dict | None = None,
+    classifier_filter: dict | None = None,
     persist_intermediates: bool = True,
     persist_registry: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
@@ -119,7 +123,16 @@ def curation_dag(
       PII-redacted;
     * ``ledger`` — one row per INPUT doc: (doc_id, fate) where fate is
       'kept' | 'line_filtered' | 'exact_dup' | 'near_dup' |
-      'semantic_dup' | 'quality:<reason>' | 'contaminated'.
+      'semantic_dup' | 'quality:<reason>' | 'lm_filtered' |
+      'classifier_filtered' | 'contaminated'.
+
+    ``classifier_filter`` (optional): ``{"clf": QualityClassifier,
+    "min_prob": p}`` — scores the quality survivors with the distilled
+    model (operators/classifier.py, one narrow map) and drops docs
+    whose quality probability is below ``p`` (fate
+    'classifier_filtered').  Resume note: the model's uid enters the
+    run fingerprint, so a freshly-loaded model conservatively wipes a
+    prior sink rather than silently mixing models.
 
     ``line_filter_opts`` (optional): kwargs for
     :func:`functions.linefilter.line_filter` — when given, the C4
@@ -265,6 +278,22 @@ def curation_dag(
     else:
         lm_losers = None
 
+    # optional distilled-classifier filter (FineWeb-Edu pattern): the
+    # model was trained OFFLINE on an expensively-labeled sample; here
+    # it is one narrow scoring map + a threshold
+    if classifier_filter is not None:
+        from sherlog_parser_spark.operators.classifier import classifier_scores
+
+        min_prob = float(classifier_filter["min_prob"])
+        clf_losers = _reuse(
+            classifier_scores(s4, classifier_filter["clf"], "text", "doc_id")
+            .filter(F.col("quality_prob") < min_prob)
+            .select("doc_id")
+        )
+        s4 = s4.join(clf_losers, "doc_id", "left_anti")
+    else:
+        clf_losers = None
+
     # PII redaction (pure JVM regexp chain)
     s5 = s4.select("doc_id", PII.redact_pii_expr("text").alias("text"))
 
@@ -313,6 +342,10 @@ def curation_dag(
     if lm_losers is not None:
         ledger = ledger.unionByName(
             lm_losers.select("doc_id", F.lit("lm_filtered").alias("fate"))
+        )
+    if clf_losers is not None:
+        ledger = ledger.unionByName(
+            clf_losers.select("doc_id", F.lit("classifier_filtered").alias("fate"))
         )
     if contaminated is not None:
         ledger = ledger.unionByName(

@@ -213,6 +213,37 @@ def test_curation_dag_semdedup_stage(spark, corpus):
             assert f == fates0[d], d
 
 
+def test_curation_dag_classifier_filter_stage(spark, corpus):
+    """r5: the distilled-classifier stage drops exactly the docs the
+    model scores below threshold (fate 'classifier_filtered'); per-doc
+    unique filler tokens make the tiny training set separable, so the
+    overfit model isolates doc 40 deterministically."""
+    from sherlog_parser_spark.operators.classifier import train_quality_classifier
+
+    docs, bench = corpus
+    _, ledger0 = curation_dag(docs, bench_docs=bench, quality_kwargs=QUALITY)
+    fates0 = {r["doc_id"]: r["fate"] for r in ledger0.collect()}
+    surv = sorted(d for d, f in fates0.items() if f in ("kept", "contaminated"))
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    labeled = spark.createDataFrame(
+        [(d, texts[d], 0 if d == 40 else 1) for d in surv],
+        "doc_id long, text string, label int",
+    )
+    clf = train_quality_classifier(labeled, reg_param=1e-6, max_iter=100)
+    _, ledger = curation_dag(
+        docs,
+        bench_docs=bench,
+        quality_kwargs=QUALITY,
+        classifier_filter={"clf": clf, "min_prob": 0.5},
+    )
+    fates = {r["doc_id"]: r["fate"] for r in ledger.collect()}
+    assert fates[40] == "classifier_filtered"
+    assert sorted(fates) == sorted(fates0)
+    for d, f in fates.items():
+        if d != 40:
+            assert f == fates0[d], d
+
+
 def test_curation_pipeline_e2e_and_resume(spark, corpus, tmp_path):
     docs, bench = corpus
     out = str(tmp_path / "curation")
