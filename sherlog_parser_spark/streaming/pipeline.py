@@ -255,10 +255,15 @@ def streaming_curation(
     min_tokens: int = 10,
     dedup_watermark: str = "1 hour",
     quality_kwargs: dict | None = None,
+    line_filter_opts: dict | None = None,
 ) -> DataFrame:
     """Streaming subset of the curation chain (plans/curation.py) —
     the stages that are per-row or bounded-state:
 
+    * line-level boilerplate removal (optional ``line_filter_opts`` —
+      the C4 rules are pure per-row expressions, so the stage is
+      stateless and runs FIRST, mirroring the batch DAG order; docs
+      whose every line drops vanish from the stream here),
     * EXACT dedup via watermarked ``dropDuplicates`` on md5(text): state
       holds one hash per distinct doc inside the watermark horizon
       (streaming-idiomatic rendering of the batch min-id winner; within
@@ -283,6 +288,36 @@ def streaming_curation(
         F.col(ts_col).alias("ts"),
         F.col(text_col).alias("text"),
     )
+    if line_filter_opts is not None:
+        # the rules are pure per-row expressions (functions/linefilter
+        # shares them via line_keep_expr), so the stage composes into
+        # the stream without any join/state
+        from sherlog_parser_spark.functions.linefilter import (
+            C4_BLOCKLIST,
+            line_keep_expr,
+        )
+
+        opts = dict(line_filter_opts)
+        min_words = int(opts.pop("min_words", 3))
+        blocklist = tuple(opts.pop("blocklist", C4_BLOCKLIST))
+        require_terminal = bool(opts.pop("require_terminal", True))
+        min_kept_lines = int(opts.pop("min_kept_lines", 1))
+        drop_brace = bool(opts.pop("drop_brace_docs", True))
+        if opts:
+            raise ValueError(f"unknown line_filter_opts: {sorted(opts)}")
+        txt = F.coalesce(F.col("text"), F.lit(""))
+        kept_arr = F.filter(
+            F.split(txt, "\n"),
+            lambda l: line_keep_expr(l, min_words, blocklist, require_terminal),
+        )
+        base = base.withColumn("_kl", kept_arr)
+        doc_ok = F.size("_kl") >= F.lit(min_kept_lines)
+        if drop_brace:
+            doc_ok = doc_ok & ~txt.contains("{") & ~txt.contains("}")
+        base = (
+            base.filter(doc_ok)
+            .select("doc_id", "ts", F.array_join("_kl", "\n").alias("text"))
+        )
     deduped = (
         base.withColumn("_h", F.md5("text"))
         .withWatermark("ts", dedup_watermark)

@@ -409,6 +409,68 @@ def test_streaming_curation_matches_batch_subset(spark, tmp_path):
     assert got[3] == expected3
 
 
+def test_streaming_curation_line_filter_stage(spark, tmp_path):
+    """r5: the stateless C4 line stage composes into the stream — the
+    availableNow run matches functions.linefilter.line_filter's batch
+    decision doc-for-doc (same kept_text, boilerplate docs vanish)."""
+    import datetime as dt
+
+    from sherlog_parser_spark.functions.linefilter import line_filter
+    from sherlog_parser_spark.streaming.pipeline import streaming_curation
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (
+            0,
+            base,
+            "A proper sentence stands entirely on this line.\n"
+            "We use cookies on this site.\n"
+            "Another proper sentence closes the document here today.",
+        ),
+        (1, base + dt.timedelta(minutes=1), "nav\nmenu\nfooter"),
+        (
+            2,
+            base + dt.timedelta(minutes=2),
+            "This longer piece of writing survives every single rule applied.",
+        ),
+    ]
+    src = str(tmp_path / "lf_src")
+    spark.createDataFrame(rows, "doc_id INT, ts TIMESTAMP, text STRING").write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id INT, ts TIMESTAMP, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_curation(
+        stream, quality_kwargs={"max_top_2gram_char_x1e4": 6000},
+        min_tokens=5, line_filter_opts={},
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cur_lf_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.sql("SELECT * FROM cur_lf_stream").collect()
+    }
+    batch = spark.createDataFrame(rows, "doc_id INT, ts TIMESTAMP, text STRING")
+    want = {
+        r["doc_id"]: r["kept_text"]
+        for r in line_filter(batch).filter(F.col("doc_kept")).collect()
+    }
+    assert 1 not in got  # fully-boilerplate doc vanished in-stream
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d] == want[d], d
+    assert "cookies" not in got[0]
+
+
 def test_streaming_count_anomalies_match_batch(spark, tmp_path):
     """Freeze-then-stream X3 time-series detector: flags produced by the
     streaming query (availableNow) == the batch z-rule on the same data
