@@ -18,8 +18,8 @@ into ONE DAG with the same checkpointed-commit-group write discipline:
       → LM filter                  (optional CCNet-style bigram-LM
                                     score threshold, operators/lm.py)
       → classifier filter          (optional distilled quality model,
-                                    operators/classifier.py — narrow
-                                    scoring map, coefficients broadcast)
+                                    operators/classifier.py — hashed-
+                                    gram counts + broadcast weight join)
       → PII redaction              (ordered regexp_replace chain)
       → decontamination            (broadcast benchmark shingle set)
       → bucketed, checkpointed parquet sink + per-doc fate ledger
@@ -130,9 +130,9 @@ def curation_dag(
     "min_prob": p}`` — scores the quality survivors with the distilled
     model (operators/classifier.py, one narrow map) and drops docs
     whose quality probability is below ``p`` (fate
-    'classifier_filtered').  Resume note: the model's uid enters the
-    run fingerprint, so a freshly-loaded model conservatively wipes a
-    prior sink rather than silently mixing models.
+    'classifier_filtered').  Resume note: the model is plain floats,
+    so its full content enters the run fingerprint — same weights
+    resume cleanly, different weights wipe the prior sink.
 
     ``line_filter_opts`` (optional): kwargs for
     :func:`functions.linefilter.line_filter` — when given, the C4
@@ -280,7 +280,8 @@ def curation_dag(
 
     # optional distilled-classifier filter (FineWeb-Edu pattern): the
     # model was trained OFFLINE on an expensively-labeled sample; here
-    # it is one narrow scoring map + a threshold
+    # it is one bucket-count shuffle + a broadcast weight join + a
+    # threshold (plain-float model — closure-safe by construction)
     if classifier_filter is not None:
         from sherlog_parser_spark.operators.classifier import classifier_scores
 

@@ -1,10 +1,13 @@
 """Distilled quality classifier — held-out quality on separable data,
-score-pass plumbing, artifact round-trip.  Iterative ML training is a
-documented non-oracle case (SURVEY §2.11), same class as BPE/KMeans."""
+score-pass plumbing, artifact round-trip, Observation-coexistence
+regression.  Iterative ML training is a documented non-oracle case
+(SURVEY §2.11), same class as BPE/KMeans."""
 
 from __future__ import annotations
 
 import random
+
+from pyspark.sql import functions as F
 
 from sherlog_parser_spark.operators.classifier import (
     classifier_scores,
@@ -36,13 +39,15 @@ def test_classifier_learns_separable_quality(spark):
     rows = scored.collect()
     acc = sum(1 for r in rows if r["quality_pred"] == r["label"]) / len(rows)
     assert acc >= 0.95, acc
-    # probabilities are calibrated in direction: prose > spam on average
+    # probabilities separate in direction: prose > spam on average
     good = [r["quality_prob"] for r in rows if r["label"] == 1]
     bad = [r["quality_prob"] for r in rows if r["label"] == 0]
-    assert min(good) > max(bad) or (sum(good) / len(good) > sum(bad) / len(bad))
+    assert sum(good) / len(good) > sum(bad) / len(bad)
 
 
-def test_classifier_score_plan_is_narrow(spark):
+def test_classifier_score_plan_shape(spark):
+    """Scoring is the dsir_scores shape: the coefficient table rides a
+    broadcast join; no sort-merge join, no cartesian, no Python UDF."""
     train = spark.createDataFrame(_corpus(100, 3), "doc_id long, text string, label int")
     clf = train_quality_classifier(train, max_iter=5)
     plan = (
@@ -51,8 +56,25 @@ def test_classifier_score_plan_is_narrow(spark):
         .executedPlan()
         .toString()
     )
-    # one narrow map: no shuffle in the scoring pass
-    assert "Exchange" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_classifier_scores_coexist_with_observations(spark):
+    """Regression for the Spark 4 footgun that motivated the plain-float
+    model: once any Observation is registered on the session, an ML
+    ``model.transform`` closure fails with NotSerializableException
+    (ObservationManager).  The relational scorer must be immune."""
+    from pyspark.sql import Observation
+
+    train = spark.createDataFrame(_corpus(80, 5), "doc_id long, text string, label int")
+    obs = Observation("clf_obs_regression")
+    observed = train.observe(obs, F.count(F.lit(1)).alias("n"))
+    assert observed.count() == 80
+    clf = train_quality_classifier(train, max_iter=5)
+    rows = classifier_scores(train, clf).collect()
+    assert len(rows) == 80
 
 
 def test_classifier_roundtrip(spark, tmp_path):
@@ -62,6 +84,7 @@ def test_classifier_roundtrip(spark, tmp_path):
     save_classifier(clf, path)
     clf2 = load_classifier(spark, path)
     assert clf2.n_features == clf.n_features
+    assert clf2.coefficients == clf.coefficients  # plain floats round-trip exactly
     a = {r["doc_id"]: r["quality_prob"] for r in classifier_scores(train, clf).collect()}
     b = {r["doc_id"]: r["quality_prob"] for r in classifier_scores(train, clf2).collect()}
-    assert a == b  # identical coefficients -> identical probabilities
+    assert a == b
