@@ -92,6 +92,17 @@ def main() -> int:
         "--classifier-min-prob", type=float, default=0.5,
         help="drop docs whose quality probability is below this",
     )
+    ap.add_argument(
+        "--dsir-target", default=None,
+        help="SQL predicate over the survivors defining the DSIR target "
+        "domain (e.g. \"lang = 'en'\"); enables the importance-selection "
+        "stage",
+    )
+    ap.add_argument(
+        "--dsir-min-avg-q", type=int, default=0,
+        help="drop docs whose per-gram quantized importance score is "
+        "below this (with --dsir-target)",
+    )
     # r5 write-side stages after curation (0 = off):
     ap.add_argument(
         "--mixture-target", type=int, default=0,
@@ -166,6 +177,14 @@ def main() -> int:
             classifier_filter=(
                 _load_clf(spark, args.classifier, args.classifier_min_prob)
                 if args.classifier
+                else None
+            ),
+            dsir_filter=(
+                {
+                    "target_predicate": args.dsir_target,
+                    "min_avg_score_q": args.dsir_min_avg_q,
+                }
+                if args.dsir_target
                 else None
             ),
         )

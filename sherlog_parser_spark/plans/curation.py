@@ -20,6 +20,9 @@ into ONE DAG with the same checkpointed-commit-group write discipline:
       → classifier filter          (optional distilled quality model,
                                     operators/classifier.py — hashed-
                                     gram counts + broadcast weight join)
+      → DSIR filter                (optional importance selection vs a
+                                    target-domain subset, operators/
+                                    dsir.py — quantized integer scores)
       → PII redaction              (ordered regexp_replace chain)
       → decontamination            (broadcast benchmark shingle set)
       → bucketed, checkpointed parquet sink + per-doc fate ledger
@@ -114,6 +117,7 @@ def curation_dag(
     line_filter_opts: dict | None = None,
     semdedup_opts: dict | None = None,
     classifier_filter: dict | None = None,
+    dsir_filter: dict | None = None,
     persist_intermediates: bool = True,
     persist_registry: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
@@ -133,6 +137,15 @@ def curation_dag(
     'classifier_filtered').  Resume note: the model is plain floats,
     so its full content enters the run fingerprint — same weights
     resume cleanly, different weights wipe the prior sink.
+
+    ``dsir_filter`` (optional): DSIR importance selection (Xie et al.
+    2023) — ``{"target_predicate": Column-or-SQL-string,
+    "min_avg_score_q": N[, "n_buckets": B]}``.  Trains the target
+    hashed-ngram model on the quality survivors matching the
+    predicate, the raw model on ALL quality survivors, and drops docs
+    whose per-gram quantized importance ``floor(dsir_score_q /
+    n_grams)`` falls below N (fate 'dsir_filtered').  Integer scores
+    keep the threshold engine-exact, the lm_filter discipline.
 
     ``line_filter_opts`` (optional): kwargs for
     :func:`functions.linefilter.line_filter` — when given, the C4
@@ -295,6 +308,34 @@ def curation_dag(
     else:
         clf_losers = None
 
+    # optional DSIR importance selection vs a target-domain subset
+    if dsir_filter is not None:
+        from sherlog_parser_spark.operators.dsir import dsir_scores, train_dsir
+
+        pred = dsir_filter["target_predicate"]
+        if isinstance(pred, str):
+            pred = F.expr(pred)
+        min_avg = int(dsir_filter["min_avg_score_q"])
+        model = train_dsir(
+            s4,
+            s4.filter(pred),
+            "text",
+            n_buckets=int(dsir_filter.get("n_buckets", 4096)),
+        )
+        model = model._replace(target_q=_reuse(model.target_q), raw_q=_reuse(model.raw_q))
+        avg_q = F.floor(
+            F.col("dsir_score_q").cast("double")
+            / F.greatest(F.col("n_grams"), F.lit(1))
+        ).cast("long")
+        dsir_losers = _reuse(
+            dsir_scores(s4, model, "text", "doc_id")
+            .filter(avg_q < min_avg)
+            .select("doc_id")
+        )
+        s4 = s4.join(dsir_losers, "doc_id", "left_anti")
+    else:
+        dsir_losers = None
+
     # PII redaction (pure JVM regexp chain)
     s5 = s4.select("doc_id", PII.redact_pii_expr("text").alias("text"))
 
@@ -347,6 +388,10 @@ def curation_dag(
     if clf_losers is not None:
         ledger = ledger.unionByName(
             clf_losers.select("doc_id", F.lit("classifier_filtered").alias("fate"))
+        )
+    if dsir_losers is not None:
+        ledger = ledger.unionByName(
+            dsir_losers.select("doc_id", F.lit("dsir_filtered").alias("fate"))
         )
     if contaminated is not None:
         ledger = ledger.unionByName(

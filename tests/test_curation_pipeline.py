@@ -244,6 +244,53 @@ def test_curation_dag_classifier_filter_stage(spark, corpus):
             assert f == fates0[d], d
 
 
+def test_curation_dag_dsir_filter_stage(spark, corpus):
+    """r5: the DSIR importance-selection stage drops exactly the docs
+    whose per-gram quantized score vs the target model falls below the
+    threshold (fate 'dsir_filtered'); threshold chosen from an offline
+    replay of the same public operators so the cut isolates one doc."""
+    import math
+
+    from sherlog_parser_spark.operators.dsir import dsir_scores, train_dsir
+    from sherlog_parser_spark.operators.dedup import substring_dedup_cut
+
+    docs, bench = corpus
+    _, ledger0 = curation_dag(docs, bench_docs=bench, quality_kwargs=QUALITY)
+    fates0 = {r["doc_id"]: r["fate"] for r in ledger0.collect()}
+    s4_ids = {d for d, f in fates0.items() if f in ("kept", "contaminated")}
+    s2_ids = {d for d, f in fates0.items() if f not in ("exact_dup", "near_dup")}
+    s2 = docs.filter(F.col("doc_id").isin(*s2_ids)).select("doc_id", "text")
+    surv = (
+        substring_dedup_cut(s2, n=4, min_docs=2)
+        .select("doc_id", F.col("cleaned_text").alias("text"))
+        .filter(F.col("doc_id").isin(*s4_ids))
+    )
+    pred = "text like '%alpha%'"
+    model = train_dsir(surv, surv.filter(pred), "text")
+    scored = dsir_scores(surv, model).collect()
+    avg = {
+        r["doc_id"]: math.floor(r["dsir_score_q"] / max(r["n_grams"], 1))
+        for r in scored
+    }
+    ordered = sorted(avg, key=lambda d: (avg[d], d))
+    worst, second = ordered[0], ordered[1]
+    assert avg[worst] < avg[second]
+    thr = avg[second]
+
+    _, ledger = curation_dag(
+        docs,
+        bench_docs=bench,
+        quality_kwargs=QUALITY,
+        dsir_filter={"target_predicate": pred, "min_avg_score_q": thr},
+    )
+    fates = {r["doc_id"]: r["fate"] for r in ledger.collect()}
+    assert fates[worst] == "dsir_filtered"
+    assert sorted(fates) == sorted(fates0)
+    for d, f in fates.items():
+        if d != worst:
+            assert f == fates0[d], d
+
+
 def test_curation_pipeline_e2e_and_resume(spark, corpus, tmp_path):
     docs, bench = corpus
     out = str(tmp_path / "curation")
