@@ -540,9 +540,12 @@ def paragraph_dedup(
     count key is the duplicate itself and collapses to rank-1 anyway)
     → groupBy(doc) rebuild.  No driver-side state.
 
-    ``normalize=True`` dedups on the lowercased/trimmed paragraph
-    (CCNet normalizes before hashing) while emitting the ORIGINAL
-    text.  Empty paragraphs (blank separator lines) are never deduped.
+    ``normalize=True`` dedups on the lowercased, ASCII-whitespace-
+    trimmed paragraph (CCNet normalizes before hashing) while emitting
+    the ORIGINAL text — a tabs-only line normalizes to '' and is
+    therefore blank, never deduped (``F.trim`` alone strips SPACES
+    only, the r3 trap; the regexp trim covers Java ``\\s``).  Empty
+    paragraphs (blank separator lines) are never deduped.
     """
     from pyspark.sql import Window
 
@@ -550,7 +553,11 @@ def paragraph_dedup(
     inst = docs.select(
         F.col(id_col).alias("__id"), F.posexplode(F.split(txt, "\n")).alias("pos", "para")
     )
-    key = F.lower(F.trim(F.col("para"))) if normalize else F.col("para")
+    key = (
+        F.lower(F.regexp_replace("para", r"^\s+|\s+$", ""))
+        if normalize
+        else F.col("para")
+    )
     w = Window.partitionBy(key.alias("__k")).orderBy("__id", "pos")
     ranked = inst.withColumn("__rk", F.row_number().over(w))
     kept = ranked.filter((F.col("__rk") == 1) | (key == F.lit("")))
