@@ -5,17 +5,19 @@ all heavy per-item work (decode, resize, frame-sample, feature
 extraction) runs in Arrow-batched ``mapInPandas`` so executors stream
 record batches without per-row Python overhead.
 
-Codec support: REAL, dependency-free decoders for four container
+Codec support: REAL, dependency-free decoders for five container
 formats — WAV/PCM (stdlib ``wave`` + struct), binary PPM (P6),
-24-bit uncompressed BMP (all r2), and PNG (r5: stdlib ``zlib``
-inflate + the five scanline filters — None/Sub/Up/Average/Paeth —
-for 8-bit gray / gray+alpha / RGB / RGBA, non-interlaced; palette,
-16-bit and Adam7 raise) — dispatched by magic bytes in
-``decode_media``.  Formats that genuinely require external codecs
-(JPEG's Huffman+DCT, H.264, ...) remain an explicit
-``NotImplementedError`` boundary (the container ships no PIL/ffmpeg);
-``decode_stub(fake=True)`` is the deterministic test double for
-exercising the plumbing with arbitrary payloads.
+24-bit uncompressed BMP (all r2), PNG (r5: stdlib ``zlib`` inflate +
+the five scanline filters — None/Sub/Up/Average/Paeth — for 8-bit
+gray / gray+alpha / RGB / RGBA, non-interlaced; palette, 16-bit and
+Adam7 raise), and baseline JPEG (late r5: operators/jpeg.py — marker
+parse, Huffman entropy decode, dequantize, IDCT, YCbCr→RGB, sampling
+factors up to 2×2, restart markers; progressive/arithmetic raise) —
+dispatched by magic bytes in ``decode_media``.  Formats that genuinely
+require external codecs (H.264/video, progressive JPEG) remain an
+explicit ``NotImplementedError`` boundary (the container ships no
+PIL/ffmpeg); ``decode_stub(fake=True)`` is the deterministic test
+double for exercising the plumbing with arbitrary payloads.
 """
 
 from __future__ import annotations
@@ -152,19 +154,38 @@ def make_png(seed: int = 0, width: int = 7, height: int = 6, color_type: int = 2
     )
 
 
+def make_jpeg(seed: int = 0, width: int = 16, height: int = 16) -> bytes:
+    """Deterministic REAL baseline JPEG via operators/jpeg.py's
+    encoder (smooth per-seed gradient — JPEG is lossy, so fixtures are
+    smooth enough that the decode round-trip stays high-PSNR)."""
+    from sherlog_parser_spark.operators.jpeg import encode_jpeg
+
+    px = bytearray()
+    for y in range(height):
+        for x in range(width):
+            px += bytes((
+                (x * 9 + seed * 3) % 256,
+                (y * 11 + seed * 5) % 256,
+                ((x + y) * 5 + seed) % 256,
+            ))
+    return encode_jpeg(bytes(px), width, height, 3)
+
+
 def synthetic_real_media(spark, n: int = 12, seed: int = 42) -> DataFrame:
     """Media table whose payloads are REAL decodable containers
-    (WAV / PPM / BMP / PNG round-robin)."""
+    (WAV / PPM / BMP / PNG / JPEG round-robin)."""
     rows = []
     for i in range(n):
-        if i % 4 == 0:
+        if i % 5 == 0:
             payload, kind, mime = make_wav(seed + i), "audio", "audio/wav"
-        elif i % 4 == 1:
+        elif i % 5 == 1:
             payload, kind, mime = make_ppm(seed + i), "image", "image/x-portable-pixmap"
-        elif i % 4 == 2:
+        elif i % 5 == 2:
             payload, kind, mime = make_bmp(seed + i), "image", "image/bmp"
-        else:
+        elif i % 5 == 3:
             payload, kind, mime = make_png(seed + i), "image", "image/png"
+        else:
+            payload, kind, mime = make_jpeg(seed + i), "image", "image/jpeg"
         rows.append((i, kind, bytearray(payload), mime, len(payload)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -361,9 +382,29 @@ def decode_png(payload: bytes) -> dict:
     }
 
 
+def decode_jpeg_media(payload: bytes) -> dict:
+    """Real baseline-JPEG decode via operators/jpeg.py (r5): marker
+    parse → Huffman entropy decode → dequantize → IDCT → YCbCr→RGB,
+    then the shared luminance histogram.  Progressive/arithmetic JPEGs
+    raise NotImplementedError inside the codec (honest boundary)."""
+    from sherlog_parser_spark.operators.jpeg import decode_jpeg
+
+    width, height, ch, px = decode_jpeg(payload)
+    if ch == 1:
+        rgb = bytearray()
+        for v in px:
+            rgb += bytes((v, v, v))
+        px = bytes(rgb)
+    return {
+        "width": width,
+        "height": height,
+        "feature": _luma_histogram(px, width * height),
+    }
+
+
 def decode_media(payload: bytes, kind: str | None = None) -> dict:
     """Magic-byte dispatch to a real decoder; unsupported containers are
-    an explicit boundary (JPEG/H.264 need PIL/ffmpeg, not shipped)."""
+    an explicit boundary (video/H.264 needs ffmpeg, not shipped)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     if payload[:2] == b"P6":
@@ -372,9 +413,11 @@ def decode_media(payload: bytes, kind: str | None = None) -> dict:
         return decode_bmp(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg_media(payload)
     raise NotImplementedError(
         f"no built-in decoder for this container (magic={payload[:4]!r}); "
-        "JPEG/video need PIL/ffmpeg — plug them in at decode_media"
+        "video needs ffmpeg — plug it in at decode_media"
     )
 
 

@@ -261,9 +261,64 @@ def test_unknown_container_is_explicit_boundary():
 
     from sherlog_parser_spark.operators.multimodal import decode_media
 
-    # JPEG (Huffman+DCT) stays a genuine external-codec boundary
+    # video/unknown containers stay a genuine external-codec boundary
     with _pytest.raises(NotImplementedError, match="no built-in decoder"):
-        decode_media(b"\xff\xd8\xff\xe0" + b"x" * 16)
+        decode_media(b"\x00\x00\x00\x18ftypmp42" + b"x" * 16)
+
+
+def test_real_jpeg_roundtrip_and_boundaries():
+    """r5 late: the baseline JPEG codec — encoder fixtures decode to
+    high-PSNR reconstructions (JPEG is lossy; byte equality is the
+    wrong gate), grayscale works, and progressive SOF2 refuses
+    honestly."""
+    import math
+    import struct
+
+    import pytest as _pytest
+
+    from sherlog_parser_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from sherlog_parser_spark.operators.multimodal import decode_media, make_jpeg
+
+    # smooth RGB gradient round-trips above 30 dB
+    w, h = 24, 16
+    px = bytes(
+        v
+        for y in range(h)
+        for x in range(w)
+        for v in (min(255, x * 10), min(255, y * 14), min(255, (x + y) * 6))
+    )
+    blob = encode_jpeg(px, w, h, 3)
+    gw, gh, ch, out = decode_jpeg(blob)
+    assert (gw, gh, ch) == (w, h, 3)
+    mse = sum((a - b) ** 2 for a, b in zip(px, out)) / len(px)
+    assert 10 * math.log10(255 * 255 / mse) > 30.0
+
+    # grayscale path
+    g = bytes(min(255, x * 9 + y) for y in range(h) for x in range(w))
+    gw, gh, ch, out = decode_jpeg(encode_jpeg(g, w, h, 1))
+    assert (gw, gh, ch) == (w, h, 1)
+    mseg = sum((a - b) ** 2 for a, b in zip(g, out)) / len(g)
+    assert 10 * math.log10(255 * 255 / max(mseg, 1e-9)) > 30.0
+
+    # non-8-multiple dims decode to the exact requested size
+    gw, gh, ch, out = decode_jpeg(make_jpeg(seed=5, width=13, height=9))
+    assert (gw, gh, ch) == (13, 9, 3) and len(out) == 3 * 13 * 9
+
+    # decode_media dispatch + normalized histogram feature
+    d = decode_media(make_jpeg(seed=2))
+    assert (d["width"], d["height"]) == (16, 16)
+    assert abs(sum(d["feature"]) - 1.0) < 1e-9
+
+    # progressive (SOF2) refuses honestly
+    prog = (
+        b"\xff\xd8"
+        + b"\xff\xc2"
+        + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+        + bytes((1, 0x11, 0))
+        + b"\xff\xd9"
+    )
+    with _pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(prog)
 
 
 def test_real_png_decode_all_filters_and_color_types():
@@ -332,7 +387,7 @@ def test_extract_features_real_decode_distributed(spark):
     assert len(got) == 12
     # spot-check against a driver-side decode of the same payloads
     local = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
-    for mid in (0, 1, 2):
+    for mid in (0, 1, 2, 3, 4):  # one of each real container incl. JPEG
         d = decode_media(local[mid])
         assert got[mid]["width"] == d["width"] and got[mid]["height"] == d["height"]
         assert [round(x, 5) for x in got[mid]["feature"]] == [round(x, 5) for x in d["feature"]]
