@@ -231,42 +231,77 @@ def _category(v: int) -> int:
 
 
 def encode_jpeg(
-    pixels: bytes, width: int, height: int, channels: int = 3
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int = 3,
+    subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode packed 8-bit RGB (channels=3) or grayscale (channels=1)
-    rows into a baseline JFIF JPEG."""
+    rows into a baseline JFIF JPEG.
+
+    ``subsample=True`` emits 4:2:0 (Y at 2×2 factors, chroma averaged
+    over 2×2 px — the dominant web-JPEG layout, exercising the
+    decoder's MCU interleave + upsampling path); ``restart_interval=N``
+    emits DRI + RSTn markers every N MCUs (exercising the decoder's
+    byte-align + predictor-reset path)."""
     if channels not in (1, 3):
         raise ValueError("channels must be 1 or 3")
+    if subsample and channels != 3:
+        raise ValueError("subsampling applies to 3-component images")
 
-    # component planes in YCbCr, edge-replicated to 8-multiples
-    w8, h8 = (width + 7) // 8 * 8, (height + 7) // 8 * 8
+    mcu_px = 16 if subsample else 8
+    wm = (width + mcu_px - 1) // mcu_px * mcu_px
+    hm = (height + mcu_px - 1) // mcu_px * mcu_px
 
-    def plane(fn):
+    def plane(fn, w_, h_, scale=1):
         p = []
-        for y in range(h8):
-            sy = min(y, height - 1)
+        for y in range(h_):
             row = []
-            for x in range(w8):
-                sx = min(x, width - 1)
-                row.append(fn(sx, sy))
+            for x in range(w_):
+                row.append(fn(x * scale, y * scale))
             p.append(row)
         return p
 
     if channels == 3:
         def rgb(x, y):
-            i = 3 * (y * width + x)
+            i = 3 * (min(y, height - 1) * width + min(x, width - 1))
             return pixels[i], pixels[i + 1], pixels[i + 2]
 
-        planes = [
-            plane(lambda x, y: 0.299 * rgb(x, y)[0] + 0.587 * rgb(x, y)[1] + 0.114 * rgb(x, y)[2]),
-            plane(lambda x, y: -0.168736 * rgb(x, y)[0] - 0.331264 * rgb(x, y)[1] + 0.5 * rgb(x, y)[2] + 128),
-            plane(lambda x, y: 0.5 * rgb(x, y)[0] - 0.418688 * rgb(x, y)[1] - 0.081312 * rgb(x, y)[2] + 128),
-        ]
+        def luma(x, y):
+            r, g, b = rgb(x, y)
+            return 0.299 * r + 0.587 * g + 0.114 * b
+
+        def cb_at(x, y):
+            r, g, b = rgb(x, y)
+            return -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+
+        def cr_at(x, y):
+            r, g, b = rgb(x, y)
+            return 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+
+        if subsample:
+            def avg(fn):
+                return lambda x, y: (
+                    fn(x, y) + fn(x + 1, y) + fn(x, y + 1) + fn(x + 1, y + 1)
+                ) / 4.0
+
+            planes = [
+                plane(luma, wm, hm),
+                plane(avg(cb_at), wm // 2, hm // 2, scale=2),
+                plane(avg(cr_at), wm // 2, hm // 2, scale=2),
+            ]
+            factors = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [plane(luma, wm, hm), plane(cb_at, wm, hm), plane(cr_at, wm, hm)]
+            factors = [(1, 1)] * 3
         qts = [QT_LUMA, QT_CHROMA, QT_CHROMA]
         dc_tabs = [(DC_LUMA_BITS, DC_LUMA_VALS), (DC_CHROMA_BITS, DC_CHROMA_VALS), (DC_CHROMA_BITS, DC_CHROMA_VALS)]
         ac_tabs = [(AC_LUMA_BITS, AC_LUMA_VALS), (AC_CHROMA_BITS, AC_CHROMA_VALS), (AC_CHROMA_BITS, AC_CHROMA_VALS)]
     else:
-        planes = [plane(lambda x, y: float(pixels[y * width + x]))]
+        planes = [plane(lambda x, y: float(pixels[min(y, height - 1) * width + min(x, width - 1)]), wm, hm)]
+        factors = [(1, 1)]
         qts = [QT_LUMA]
         dc_tabs = [(DC_LUMA_BITS, DC_LUMA_VALS)]
         ac_tabs = [(AC_LUMA_BITS, AC_LUMA_VALS)]
@@ -276,41 +311,55 @@ def encode_jpeg(
 
     bw = _BitWriter()
     pred = [0] * channels
-    for by in range(h8 // 8):
-        for bx in range(w8 // 8):
-            for ci in range(channels):
-                p, qt = planes[ci], qts[ci]
-                block = [p[by * 8 + y][bx * 8 + x] - 128.0 for y in range(8) for x in range(8)]
-                coef = _fdct(block)
-                q = [int(round(coef[i] / qt[i])) for i in range(64)]
-                zz = [q[ZIGZAG[i]] for i in range(64)]
-                # DC
-                diff = zz[0] - pred[ci]
-                pred[ci] = zz[0]
-                cat = _category(diff)
-                code, length = dc_codes[ci][cat]
+
+    def put_block(ci, p, bx, by):
+        qt = qts[ci]
+        block = [p[by * 8 + y][bx * 8 + x] - 128.0 for y in range(8) for x in range(8)]
+        coef = _fdct(block)
+        q = [int(round(coef[i] / qt[i])) for i in range(64)]
+        zz = [q[ZIGZAG[i]] for i in range(64)]
+        diff = zz[0] - pred[ci]
+        pred[ci] = zz[0]
+        cat = _category(diff)
+        code, length = dc_codes[ci][cat]
+        bw.write(code, length)
+        if cat:
+            bw.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+        run = 0
+        for k in range(1, 64):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_codes[ci][0xF0]  # ZRL
                 bw.write(code, length)
-                if cat:
-                    bw.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
-                # AC
-                run = 0
-                for k in range(1, 64):
-                    if zz[k] == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = ac_codes[ci][0xF0]  # ZRL
-                        bw.write(code, length)
-                        run -= 16
-                    cat = _category(zz[k])
-                    code, length = ac_codes[ci][(run << 4) | cat]
-                    bw.write(code, length)
-                    v = zz[k]
-                    bw.write(v if v >= 0 else v + (1 << cat) - 1, cat)
-                    run = 0
-                if run:
-                    code, length = ac_codes[ci][0x00]  # EOB
-                    bw.write(code, length)
+                run -= 16
+            cat = _category(zz[k])
+            code, length = ac_codes[ci][(run << 4) | cat]
+            bw.write(code, length)
+            v = zz[k]
+            bw.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+            run = 0
+        if run:
+            code, length = ac_codes[ci][0x00]  # EOB
+            bw.write(code, length)
+
+    mcux, mcuy = wm // mcu_px, hm // mcu_px
+    mcu_count, rst = 0, 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()  # byte-align (1-padded) before the marker
+                bw.buf += bytes((0xFF, 0xD0 + rst))
+                rst = (rst + 1) % 8
+                for ci in range(channels):
+                    pred[ci] = 0
+            mcu_count += 1
+            for ci in range(channels):
+                h_, v_ = factors[ci]
+                for by in range(v_):
+                    for bx in range(h_):
+                        put_block(ci, planes[ci], mx * h_ + bx, my * v_ + by)
     bw.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -325,8 +374,11 @@ def encode_jpeg(
     # SOF0
     comp = b""
     for ci in range(channels):
-        comp += bytes((ci + 1, 0x11, 0 if ci == 0 else 1))
+        h_, v_ = factors[ci]
+        comp += bytes((ci + 1, (h_ << 4) | v_, 0 if ci == 0 else 1))
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * channels, 8, height, width, channels) + comp
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
 
     def dht(cls, tid, bits, vals):
         return (

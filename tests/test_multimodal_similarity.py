@@ -309,6 +309,26 @@ def test_real_jpeg_roundtrip_and_boundaries():
     assert (d["width"], d["height"]) == (16, 16)
     assert abs(sum(d["feature"]) - 1.0) < 1e-9
 
+    # 4:2:0 subsampling (MCU interleave + chroma upsampling) and
+    # restart markers (byte-align + predictor reset) round-trip too,
+    # on dims that are not multiples of the 16px MCU
+    w2, h2 = 37, 21
+    px2 = bytes(
+        v
+        for y in range(h2)
+        for x in range(w2)
+        for v in (min(255, x * 6), min(255, y * 11), min(255, (x * 2 + y) * 4))
+    )
+    for kwargs in (
+        {"subsample": True},
+        {"restart_interval": 2},
+        {"subsample": True, "restart_interval": 1},
+    ):
+        gw, gh, ch, out = decode_jpeg(encode_jpeg(px2, w2, h2, 3, **kwargs))
+        assert (gw, gh, ch) == (w2, h2, 3), kwargs
+        mse2 = sum((a - b) ** 2 for a, b in zip(px2, out)) / len(px2)
+        assert 10 * math.log10(255 * 255 / mse2) > 30.0, kwargs
+
     # progressive (SOF2) refuses honestly
     prog = (
         b"\xff\xd8"
