@@ -70,6 +70,16 @@ def main() -> int:
         "sentence punctuation)",
     )
     ap.add_argument(
+        "--paragraph-dedup", action="store_true",
+        help="run CCNet corpus-global paragraph dedup before document "
+        "dedup (fate 'paragraph_filtered' for fully-repeated docs)",
+    )
+    ap.add_argument(
+        "--paragraph-normalize", action="store_true",
+        help="dedup paragraphs on lowercased/trimmed text (with "
+        "--paragraph-dedup)",
+    )
+    ap.add_argument(
         "--embeddings", default=None,
         help="embeddings parquet for the SemDeDup semantic-dedup stage "
         "(joined to documents by id)",
@@ -162,6 +172,11 @@ def main() -> int:
                     "require_terminal": not args.line_no_terminal,
                 }
                 if args.line_filter
+                else None
+            ),
+            paragraph_dedup_opts=(
+                {"normalize": args.paragraph_normalize}
+                if args.paragraph_dedup
                 else None
             ),
             semdedup_opts=(

@@ -6,6 +6,9 @@ into ONE DAG with the same checkpointed-commit-group write discipline:
       → unicode NFC normalize      (Arrow-batched pandas UDF, optional)
       → line-level boilerplate cut (optional C4 rules, functions/
                                     linefilter.py — narrow map, no shuffle)
+      → paragraph dedup            (optional CCNet corpus-global
+                                    first-occurrence paragraph dedup,
+                                    operators/dedup.paragraph_dedup)
       → exact dedup                (one shuffle on md5(text), min-id wins)
       → MinHash near-dedup         (banded LSH candidates → connected
                                     components → min-id representative)
@@ -115,6 +118,7 @@ def curation_dag(
     quality_kwargs: dict | None = None,
     lm_filter: dict | None = None,
     line_filter_opts: dict | None = None,
+    paragraph_dedup_opts: dict | None = None,
     semdedup_opts: dict | None = None,
     classifier_filter: dict | None = None,
     dsir_filter: dict | None = None,
@@ -154,6 +158,15 @@ def curation_dag(
     otherwise-distinct documents into dup groups); docs whose
     ``doc_kept`` is false take fate 'line_filtered', survivors carry
     their ``kept_text`` forward.
+
+    ``paragraph_dedup_opts`` (optional): kwargs for
+    :func:`operators.dedup.paragraph_dedup` (e.g. ``{"normalize":
+    True}``; pass ``{}`` for defaults) — CCNet's corpus-global
+    paragraph dedup runs after the line stage and BEFORE document
+    dedup (its text rewrites change document identity, so doc-level
+    dedup must see the deduped text); docs whose every paragraph was
+    a repeat take fate 'paragraph_filtered', survivors carry the
+    rewritten text forward.
 
     ``semdedup_opts`` (optional): the SemDeDup semantic stage (Abbas
     et al. 2023) after lexical near-dedup — ``{"embeddings": frame
@@ -212,6 +225,19 @@ def curation_dag(
         )
     else:
         line_losers = None
+
+    # optional CCNet corpus-global paragraph dedup (first occurrence
+    # by (doc_id, pos) wins; the rewrite happens before doc dedup)
+    if paragraph_dedup_opts is not None:
+        from sherlog_parser_spark.operators.dedup import paragraph_dedup
+
+        pdres = _reuse(paragraph_dedup(base, "text", "doc_id", **paragraph_dedup_opts))
+        para_losers = pdres.filter(~F.col("doc_kept")).select("doc_id")
+        base = pdres.filter(F.col("doc_kept")).select(
+            "doc_id", F.col("kept_text").alias("text")
+        )
+    else:
+        para_losers = None
 
     # exact dedup: min-id winner per md5(text)
     winners = _reuse(
@@ -368,6 +394,10 @@ def curation_dag(
     if line_losers is not None:
         exact_losers = exact_losers.unionByName(
             line_losers.select("doc_id", F.lit("line_filtered").alias("fate"))
+        )
+    if para_losers is not None:
+        exact_losers = exact_losers.unionByName(
+            para_losers.select("doc_id", F.lit("paragraph_filtered").alias("fate"))
         )
     ledger = exact_losers.unionByName(
         near_losers.select("doc_id", F.lit("near_dup").alias("fate"))

@@ -176,6 +176,36 @@ def test_curation_dag_line_filter_stage(spark):
     assert "cookies" not in out[0]
 
 
+def test_curation_dag_paragraph_dedup_stage(spark):
+    """r5: CCNet paragraph dedup runs BEFORE document dedup — a doc
+    whose unique paragraph survives alongside a repeated one keeps the
+    rewritten text; a doc made entirely of repeats (including an EXACT
+    document copy — every one of its paragraphs first occurred in the
+    earlier doc) takes fate 'paragraph_filtered'.  Corpus-global
+    paragraph dedup strictly subsumes exact doc dedup for later
+    copies, which is why the stage sits upstream."""
+    rows = [
+        (0, "common shared paragraph text\nalpha unique line zero here"),
+        (1, "common shared paragraph text"),  # all repeats -> filtered
+        (2, "beta unique keeps this document alive\ncommon shared paragraph text"),
+        (3, "gamma tail paragraph stands here\ncommon shared paragraph text"),
+        (4, "gamma tail paragraph stands here\ncommon shared paragraph text"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    cleaned, ledger = curation_dag(
+        docs, paragraph_dedup_opts={}, min_tokens=3, quality_kwargs=QUALITY
+    )
+    fates = {r["doc_id"]: r["fate"] for r in ledger.collect()}
+    assert fates[1] == "paragraph_filtered"
+    assert fates[4] == "paragraph_filtered"  # exact copy of 3: all repeats
+    assert fates[0] == "kept" and fates[2] == "kept" and fates[3] == "kept"
+    assert sorted(fates) == [0, 1, 2, 3, 4]
+    out = {r["doc_id"]: r["text"] for r in cleaned.collect()}
+    assert "common shared paragraph text" in out[0]  # first occurrence kept
+    assert "common shared paragraph text" not in out[2]
+    assert "beta unique keeps this document alive" in out[2]
+
+
 def test_curation_dag_semdedup_stage(spark, corpus):
     """r5: the optional SemDeDup stage drops the centroid-nearer member
     of a within-cluster high-cosine pair (fate 'semantic_dup') from the
