@@ -1,0 +1,77 @@
+"""Interpolated trigram LM — bit-exact Python-mirror differential
+(quantized interpolated probabilities are fixed-order IEEE arithmetic),
+partition invariance, structural plan shape.  Documented non-oracle:
+the 50 slots are full; the mirror differential is the value gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sherlog_parser_spark.operators.lm import (
+    python_mirror_trigram,
+    train_trigram_lm,
+    trigram_likelihood,
+)
+
+ROWS = [
+    (0, "the cat sat on the mat and the cat sat again"),
+    (1, "a dog barked at the cat on the mat"),
+    (2, "stock prices fell sharply as markets wobbled today"),
+    (3, "the the the the"),
+    (4, ""),
+    (5, "zzz unseen tokens everywhere zzz"),
+]
+
+
+def test_trigram_matches_mirror_bit_exact(spark):
+    docs = spark.createDataFrame(ROWS, "doc_id long, text string")
+    lm = train_trigram_lm(docs, vocab_size=8)
+    got = {
+        r["doc_id"]: (r["lm3_score_q"], r["lm3_oov"])
+        for r in trigram_likelihood(docs, lm).collect()
+    }
+    want = python_mirror_trigram(ROWS, vocab_size=8)
+    assert got == want
+    assert got[4] == (0, 0)
+
+
+def test_trigram_partition_invariance(spark):
+    docs = spark.createDataFrame(ROWS, "doc_id long, text string")
+    lm = train_trigram_lm(docs.repartition(5), vocab_size=8)
+    a = sorted(map(tuple, trigram_likelihood(docs.repartition(1), lm).collect()))
+    b = sorted(map(tuple, trigram_likelihood(docs.repartition(7), lm).collect()))
+    assert a == b
+
+
+def test_trigram_ranks_in_distribution_text_above_gibberish(spark):
+    """Direction check: a memorized in-distribution doc scores a higher
+    per-token interpolated probability than an all-OOV doc, and the
+    same natural phrase scores above its word-reversed variant (the
+    higher-order structure signal bigram-only models miss less of)."""
+    docs = spark.createDataFrame(ROWS, "doc_id long, text string")
+    # vocab covers the whole corpus: with a tiny vocab, <unk> becomes a
+    # FREQUENT well-modeled token and all-OOV probes score high — the
+    # classic smoothed-LM artifact this check must not trip over
+    lm = train_trigram_lm(docs, vocab_size=64)
+    probe = spark.createDataFrame(
+        [
+            (100, "the cat sat on the mat"),
+            (101, "mat the on sat cat the"),
+            (102, "qqq www eee rrr ttt yyy"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["lm3_score_q"] for r in trigram_likelihood(probe, lm).collect()
+    }
+    assert got[100] > got[101] > got[102], got
+
+
+def test_trigram_plan_broadcasts_lower_orders(spark):
+    docs = spark.createDataFrame(ROWS, "doc_id long, text string")
+    lm = train_trigram_lm(docs, vocab_size=8)
+    plan = (
+        trigram_likelihood(docs, lm)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
