@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import hashlib
 import io
+import math
 import struct
 import wave
 import zlib
@@ -400,6 +401,148 @@ def decode_jpeg_media(payload: bytes) -> dict:
         "height": height,
         "feature": _luma_histogram(px, width * height),
     }
+
+
+def decode_pixels(payload: bytes) -> tuple[int, int, bytes]:
+    """(width, height, packed RGB triples) for any supported IMAGE
+    container — the pixel-level sibling of ``decode_media`` that
+    image transforms (resize, crop) build on.  Note: BMP rows are
+    stored bottom-up; this helper returns TOP-DOWN rows for every
+    format."""
+    if payload[:2] == b"P6":
+        parts, i, tok = [], 2, b""
+        while len(parts) < 3:
+            c = payload[i : i + 1]
+            i += 1
+            if c.isspace():
+                if tok:
+                    parts.append(int(tok))
+                    tok = b""
+            elif c == b"#":
+                while payload[i : i + 1] not in (b"\n", b""):
+                    i += 1
+            else:
+                tok += c
+        width, height, maxval = parts
+        if maxval != 255:
+            raise NotImplementedError("only maxval=255 PPM supported")
+        return width, height, bytes(payload[i : i + 3 * width * height])
+    if payload[:2] == b"BM":
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        _hs, width, height, _pl, bpp, compression = struct.unpack_from("<IiihHI", payload, 14)
+        if bpp != 24 or compression != 0:
+            raise NotImplementedError("only 24bpp uncompressed BMP supported")
+        row_stride = (width * 3 + 3) & ~3
+        h = abs(height)
+        px = bytearray()
+        rows = range(h - 1, -1, -1) if height > 0 else range(h)  # bottom-up -> top-down
+        for row in rows:
+            src = data_off + row * row_stride
+            line = payload[src : src + width * 3]
+            for c in range(width):
+                px += bytes((line[3 * c + 2], line[3 * c + 1], line[3 * c]))
+        return width, h, bytes(px)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        width, height, ch, raw = _png_pixels(payload)
+        if ch == 3:
+            return width, height, raw
+        px = bytearray()
+        for i in range(width * height):
+            if ch == 1:
+                v = raw[i]
+                px += bytes((v, v, v))
+            elif ch == 2:
+                v = raw[2 * i]
+                px += bytes((v, v, v))
+            else:
+                px += raw[4 * i : 4 * i + 3]
+        return width, height, bytes(px)
+    if payload[:2] == b"\xff\xd8":
+        from sherlog_parser_spark.operators.jpeg import decode_jpeg
+
+        width, height, ch, raw = decode_jpeg(payload)
+        if ch == 3:
+            return width, height, raw
+        px = bytearray()
+        for v in raw:
+            px += bytes((v, v, v))
+        return width, height, bytes(px)
+    raise ValueError(f"not a supported image container (magic={payload[:4]!r})")
+
+
+def resize_pixels(
+    px: bytes, w: int, h: int, out_w: int, out_h: int, method: str = "bilinear"
+) -> bytes:
+    """Resample packed RGB rows to (out_w, out_h): 'nearest' or
+    'bilinear' (center-aligned sampling grid — the standard
+    half-pixel-offset convention).  Shared by the distributed transform
+    and its tests' driver-side mirror — one implementation, no forked
+    semantics."""
+    if method not in ("nearest", "bilinear"):
+        raise ValueError("method must be 'nearest' or 'bilinear'")
+    out = bytearray(3 * out_w * out_h)
+    sx_ratio = w / out_w
+    sy_ratio = h / out_h
+    for y in range(out_h):
+        fy = (y + 0.5) * sy_ratio - 0.5
+        for x in range(out_w):
+            fx = (x + 0.5) * sx_ratio - 0.5
+            o = 3 * (y * out_w + x)
+            if method == "nearest":
+                sx = min(w - 1, max(0, int(round(fx))))
+                sy = min(h - 1, max(0, int(round(fy))))
+                s = 3 * (sy * w + sx)
+                out[o : o + 3] = px[s : s + 3]
+            else:
+                x0 = min(w - 1, max(0, int(math.floor(fx))))
+                y0 = min(h - 1, max(0, int(math.floor(fy))))
+                x1, y1 = min(w - 1, x0 + 1), min(h - 1, y0 + 1)
+                ax = min(1.0, max(0.0, fx - x0))
+                ay = min(1.0, max(0.0, fy - y0))
+                for c in range(3):
+                    v00 = px[3 * (y0 * w + x0) + c]
+                    v01 = px[3 * (y0 * w + x1) + c]
+                    v10 = px[3 * (y1 * w + x0) + c]
+                    v11 = px[3 * (y1 * w + x1) + c]
+                    top = v00 + (v01 - v00) * ax
+                    bot = v10 + (v11 - v10) * ax
+                    out[o + c] = int(round(top + (bot - top) * ay))
+    return bytes(out)
+
+
+def resize_images(
+    media: DataFrame, out_w: int, out_h: int, method: str = "bilinear"
+) -> DataFrame:
+    """(media_id, width, height, rgb) — every decodable IMAGE payload
+    resampled to a fixed shape via Arrow-batched ``mapInPandas`` (the
+    task-brief resize transform: decode + resample stay per-item,
+    executors stream record batches).  Non-image rows are filtered out
+    JVM-side before any Python is invoked."""
+    import pandas as pd
+
+    schema = "media_id long, width int, height int, rgb binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rgbs = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = decode_pixels(bytes(payload))
+                ids.append(mid)
+                rgbs.append(resize_pixels(px, w, h, out_w, out_h, method))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": [out_w] * len(ids),
+                    "height": [out_h] * len(ids),
+                    "rgb": rgbs,
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(run, schema)
+    )
 
 
 def decode_media(payload: bytes, kind: str | None = None) -> dict:

@@ -411,3 +411,48 @@ def test_extract_features_real_decode_distributed(spark):
         d = decode_media(local[mid])
         assert got[mid]["width"] == d["width"] and got[mid]["height"] == d["height"]
         assert [round(x, 5) for x in got[mid]["feature"]] == [round(x, 5) for x in d["feature"]]
+
+
+def test_resize_images_all_containers(spark):
+    """r5 late: the real resize transform — decode_pixels + shared
+    resample over every image container, distributed == driver mirror
+    byte-for-byte, both methods, up- and down-scaling."""
+    from sherlog_parser_spark.operators.multimodal import (
+        decode_pixels,
+        resize_images,
+        resize_pixels,
+        synthetic_real_media,
+    )
+
+    media = synthetic_real_media(spark, n=10)
+    local = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.collect()
+        if r["kind"] == "image"
+    }
+    for method, (ow, oh) in (("nearest", (5, 3)), ("bilinear", (20, 11))):
+        got = {
+            r["media_id"]: (r["width"], r["height"], bytes(r["rgb"]))
+            for r in resize_images(media, ow, oh, method).collect()
+        }
+        assert set(got) == set(local)
+        for mid, payload in local.items():
+            w, h, px = decode_pixels(payload)
+            want = resize_pixels(px, w, h, ow, oh, method)
+            assert got[mid] == (ow, oh, want), (mid, method)
+
+
+def test_resize_identity_is_exact_for_lossless_containers(spark):
+    """Resizing to the native shape with nearest is the identity on
+    losslessly-stored pixels (PPM/BMP/PNG)."""
+    from sherlog_parser_spark.operators.multimodal import (
+        decode_pixels,
+        make_bmp,
+        make_png,
+        make_ppm,
+        resize_pixels,
+    )
+
+    for payload in (make_ppm(3, 8, 6), make_bmp(3, 5, 4), make_png(3, 7, 6)):
+        w, h, px = decode_pixels(payload)
+        assert resize_pixels(px, w, h, w, h, "nearest") == px
