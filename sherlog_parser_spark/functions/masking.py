@@ -135,8 +135,8 @@ def mask_template_expr(
 
     # Pass-skipping guards (r3, scaling item): every rule — default and
     # extended — requires at least one ASCII digit to match ('0x' starts
-    # with the digit 0), the IP rule requires a literal '.', the hex rule
-    # a literal '0x'.  No replacement ever INTRODUCES a digit, dot, or
+    # with the digit 0), and the IP rule requires a literal '.'.
+    # No replacement ever INTRODUCES a digit, dot, or
     # '0x' adjacency (mask strings are '<TYPE>' / 'key=<TYPE>' /
     # '0x<OID>'-only-when-0x-existed), so guards computed once on the
     # normalized ORIGINAL are equivalence-preserving: a skipped pass
@@ -155,10 +155,7 @@ def mask_template_expr(
     # pinned by the expr==py fuzz suite.
     has_digit = norm.rlike("[0-9]")
     pass_guards = (
-        {
-            r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}": norm.contains("."),
-            r"0x[0-9a-fA-F]+": norm.contains("0x"),
-        }
+        {r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}": norm.contains(".")}
         if guards
         else {}
     )
@@ -170,7 +167,16 @@ def mask_template_expr(
         # afterwards, so the full-token default rules below skip them
         for pattern, repl in EXTENDED_MASK_RULES:
             chain = F.regexp_replace(chain, pattern, repl)
-    for pattern, mask in MASK_RULES:
+    # The 0x-hex and trailing-digit rules (MASK_RULES[2], MASK_RULES[3])
+    # both emit <OID>, and neither can match a token the other already
+    # rewrote ('<OID>' contains '<'/'>').  Fusing them into one
+    # alternation pass drops one full regex scan per row (and the '0x'
+    # guard scan) with byte-identical output — pinned by the expr==py
+    # fuzz tests against the per-token mirror.
+    fused = MASK_RULES[:2] + [
+        (f"(?:{MASK_RULES[2][0]})|(?:{MASK_RULES[3][0]})", MASK_RULES[2][1])
+    ]
+    for pattern, mask in fused:
         step = F.regexp_replace(chain, f"(\\s)(?:{pattern})(?=\\s)", "$1" + mask)
         g = pass_guards.get(pattern)
         chain = F.when(g, step).otherwise(chain) if g is not None else step
@@ -269,6 +275,59 @@ def extract_params_expr(text: Column | str, template: Column | str) -> Column:
     return F.when(
         F.size(lt) == F.size(tt), F.map_from_entries(entries)
     ).otherwise(F.map_from_entries(F.array().cast("array<struct<key:string,value:string>>")))
+
+
+def template_param_meta(template: Column | str) -> Column:
+    """Per-TEMPLATE parameter-extraction metadata (r6 optimization):
+    ``struct<n_toks:int, vars:array<struct<idx:int, key:string>>>`` —
+    the template's token count plus (position, precomputed map key) for
+    every variable token.  Everything here is functionally dependent on
+    the template string, so the enrich stage computes it once per
+    DICTIONARY row (≤10^4) and broadcasts it, instead of re-tokenizing
+    the template and running regexp_extract per CORPUS row (10^7+).
+    :func:`apply_params_expr` is the per-row counterpart; the pair is
+    pinned equal to :func:`extract_params_expr` by tests."""
+    tt = tokens_expr(template)
+    var_type = lambda t: F.regexp_extract(t, VAR_TOKEN_PATTERN, 1)  # noqa: E731
+    tagged = F.filter(
+        F.transform(
+            tt,
+            lambda t, i: F.struct(
+                i.cast("int").alias("idx"),
+                F.concat(
+                    F.lit("param_"), i.cast("string"), F.lit("_"), var_type(t)
+                ).alias("key"),
+                (var_type(t) != F.lit("")).alias("is_var"),
+            ),
+        ),
+        lambda s: s["is_var"],
+    )
+    vars_ = F.transform(
+        tagged, lambda s: F.struct(s["idx"].alias("idx"), s["key"].alias("key"))
+    )
+    return F.struct(F.size(tt).alias("n_toks"), vars_.alias("vars"))
+
+
+def apply_params_expr(text_tokens: Column, meta: Column) -> Column:
+    """Row-side parameter extraction from precomputed template metadata:
+    emits ``map(key -> raw token at idx)`` when the raw token count
+    equals the template's, else the empty map (reference behavior at
+    cpp/src/log_parser.cpp:300-303; a null ``meta`` — dictionary miss —
+    also yields the empty map, matching extract_params_expr on a null
+    template).  ``text_tokens`` MUST be a bound attribute column, never
+    a raw expression tree (interpreted HOF lambdas re-evaluate outer
+    trees per element)."""
+    entries = F.transform(
+        meta["vars"],
+        lambda s: F.struct(
+            s["key"].alias("key"),
+            F.element_at(text_tokens, s["idx"] + F.lit(1)).alias("value"),
+        ),
+    )
+    empty = F.map_from_entries(F.array().cast("array<struct<key:string,value:string>>"))
+    return F.when(
+        F.size(text_tokens) == meta["n_toks"], F.map_from_entries(entries)
+    ).otherwise(empty)
 
 
 # ---------------------------------------------------------------------------

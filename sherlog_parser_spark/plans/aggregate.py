@@ -31,6 +31,21 @@ def sink_rollup(enriched: DataFrame, window: str = "1 hour") -> DataFrame:
     ).agg(F.count("*").alias("n"))
 
 
+def sink_rollup_slim(pre: DataFrame, tpl_df: DataFrame, window: str = "1 hour") -> DataFrame:
+    """:func:`sink_rollup` with the template STRING kept out of the
+    per-row hash-aggregate keys (r6): group by ``template_id`` only and
+    attach ``template`` from the broadcast ``(template_id, template)``
+    table at rollup cardinality.  ``template_id -> template`` is 1:1, so
+    the rollup (and both second-level aggregates) are row-identical to
+    :func:`sink_rollup` over the enriched frame."""
+    slim = pre.groupBy("template_id", "tool", F.window("ts", window).alias("w")).agg(
+        F.count("*").alias("n")
+    )
+    return slim.join(F.broadcast(tpl_df), "template_id", "left").select(
+        "template_id", "template", "tool", "w", "n"
+    )
+
+
 def template_frequency_from_rollup(rollup: DataFrame) -> DataFrame:
     return rollup.groupBy("template_id", "template").agg(F.sum("n").alias("frequency"))
 

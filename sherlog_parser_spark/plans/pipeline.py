@@ -40,9 +40,15 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from sherlog_parser_spark.checkpoint import CheckpointManifest
-from sherlog_parser_spark.data.dims import role_tool_dim
+from sherlog_parser_spark.functions.masking import (
+    apply_params_expr,
+    event_type_expr,
+    template_param_meta,
+    tokens_expr,
+)
 from sherlog_parser_spark.plans.aggregate import (
     sink_rollup,
+    sink_rollup_slim,
     template_frequency_from_rollup,
     tool_usage_from_rollup,
 )
@@ -52,9 +58,13 @@ from sherlog_parser_spark.plans.dictionary import (
     dictionary_from_state,
     dictionary_state,
 )
-from sherlog_parser_spark.plans.enrich import enrich_stage
 from sherlog_parser_spark.plans.parse import parse_stage
-from sherlog_parser_spark.plans.route import conv_bucket_expr, route_cols, salt_expr
+from sherlog_parser_spark.plans.route import (
+    ROUTE_COLS,
+    conv_bucket_expr,
+    route_cols,
+    salt_expr,
+)
 
 
 _log = logging.getLogger(__name__)
@@ -160,10 +170,45 @@ def run_pipeline(
         tdict = build_template_dictionary(parsed)
         with open(dict_path, "w") as f:
             json.dump(dictionary_state(tdict), f)
-    enriched = enrich_stage(parsed, tdict.df, role_tool_dim(spark), with_params=with_params)
-    routed = enriched.select(*route_cols(enriched)).withColumn(
-        "conv_bucket", conv_bucket_expr("conv_id", n_buckets)
+    # r6 route-path restructure (guide §2.3/§8: shuffle keys + payload
+    # once, attach derived columns post-exchange).  The exchange feeding
+    # the partitioned write used to carry template (string), event_type
+    # and the parameters map — all functionally dependent on
+    # (template_id, text), both of which already ride the shuffle.  Now
+    # the pre-shuffle frame is just the raw row + template_id +
+    # conv_bucket; template / event_type / parameters are attached AFTER
+    # the exchange from a broadcast of the ≤10^4-row template table
+    # (event_type and param positions precomputed per template, not per
+    # row — see enrich.py).  Row/column-identical sink: pinned by the
+    # resume/fingerprint e2e tests and the parity suite.  The role/tool
+    # dim join of enrich_stage contributes no ROUTE_COLS column and its
+    # (role, tool) keys are unique by construction, so it is provably
+    # row-preserving and elided from the route path entirely.
+    base_cols = [c for c in route_cols(parsed) if c in parsed.columns]
+    pre = (
+        parsed.select(*base_cols, "sig")
+        .join(F.broadcast(tdict.df.select("sig", "template_id")), "sig", "left")
+        .drop("sig")
+        .withColumn("conv_bucket", conv_bucket_expr("conv_id", n_buckets))
     )
+    tpl_df = spark.createDataFrame(
+        [(tid, t) for tid, t in enumerate(tdict.templates)],
+        "template_id long, template string",
+    )
+    tpl_meta = tpl_df.withColumn("__event_type", event_type_expr("template"))
+    if with_params:
+        tpl_meta = tpl_meta.withColumn("__pmeta", template_param_meta("template"))
+
+    def _attach_derived(frame: DataFrame) -> DataFrame:
+        out = frame.join(F.broadcast(tpl_meta), "template_id", "left").withColumn(
+            "event_type", F.coalesce(F.col("__event_type"), F.lit("UNKNOWN"))
+        )
+        if with_params:
+            out = out.withColumn("__lt", tokens_expr("text")).withColumn(
+                "parameters", apply_params_expr(F.col("__lt"), F.col("__pmeta"))
+            )
+        final_cols = [c for c in ROUTE_COLS if c in out.columns] + ["conv_bucket"]
+        return out.select(*final_cols)
 
     # Aggregates overlap the route write (r3 judge item #5): the rollup
     # needs only tdict + the persisted parse cache, so its tasks fill the
@@ -179,8 +224,16 @@ def run_pipeline(
 
     def _write_aggregates():
         try:
-            src = spark.read.parquet(routed_dir) if aggregate_source == "sink" else routed
-            rollup = sink_rollup(src).persist()
+            if aggregate_source == "sink":
+                rollup = sink_rollup(spark.read.parquet(routed_dir)).persist()
+            else:
+                # r6: the rollup's grouping keys no longer carry the
+                # template STRING through the per-row hash aggregate —
+                # group by template_id only and attach template from the
+                # broadcast table at rollup cardinality (≤10^4 rows);
+                # template_id -> template is 1:1, so the final frames
+                # are row-identical (guide §2.3 narrower keys)
+                rollup = sink_rollup_slim(pre, tpl_df).persist()
             template_frequency_from_rollup(rollup).write.mode("overwrite").parquet(
                 os.path.join(out_dir, "agg_template_freq")
             )
@@ -207,11 +260,13 @@ def run_pipeline(
                 continue
             t0 = time.time()
             obs = Observation(f"route_g{g}")
-            sub = routed.filter(F.pmod(F.col("conv_bucket"), F.lit(commit_groups)) == g).observe(
+            sub = pre.filter(F.pmod(F.col("conv_bucket"), F.lit(commit_groups)) == g).observe(
                 obs, F.count(F.lit(1)).alias("rows"), F.bit_xor(F.xxhash64("conv_id", "turn_idx")).alias("fp")
             )
             (
-                sub.repartition(F.col("template_id"), F.col("tool"), F.col("conv_bucket"), salt)
+                _attach_derived(
+                    sub.repartition(F.col("template_id"), F.col("tool"), F.col("conv_bucket"), salt)
+                )
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .option("parquet.enable.dictionary", "false")
