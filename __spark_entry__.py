@@ -477,15 +477,27 @@ def q_ann_topk(spark, sf_dir):
     ``embedding_topk`` / ``lsh_ann_topk`` / ``ivf_ann_topk`` entries
     (driver 50-row cap, see q_numeric_outliers).  Each branch keeps its
     own total-order top-10; the oracle replays all three."""
-    brute = q_embedding_topk(spark, sf_dir).select(
+    # r6: one embeddings read + ONE driver collect serves all three
+    # branches (was three separate scans collecting the query vector,
+    # plus a fourth for the IVF centers — four extra jobs whose results
+    # are byte-identical to this single probe)
+    emb = _read(spark, sf_dir, "embeddings")
+    rows = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.filter(F.col("vec_id").between(0, 16)).collect()
+    }
+    qv = rows[0]
+    centroids = [list(map(float, rows[i])) for i in range(1, 17)]
+    brute = SIM.brute_force_topk(emb, qv, k=10, exclude_id=0).select(
         F.lit("brute").alias("method"), "vec_id", "cos"
     )
-    lsh = q_lsh_ann_topk(spark, sf_dir).select(
+    lsh = SIM.lsh_ann_topk(emb, qv, k=10, planes=6, dims=64, exclude_id=0).select(
         F.lit("lsh").alias("method"), "vec_id", "cos"
     )
-    ivf = q_ivf_ann_topk(spark, sf_dir).select(
-        F.lit("ivf").alias("method"), "vec_id", "cos"
-    )
+    assigned = SIM.ivf_assign(emb, centroids)
+    ivf = SIM.ivf_ann_topk(
+        assigned, centroids, list(map(float, qv)), k=10, n_probe=2, exclude_id=0
+    ).select(F.lit("ivf").alias("method"), "vec_id", "cos")
     return brute.unionAll(lsh).unionAll(ivf)
 
 
@@ -506,8 +518,13 @@ def q_semdedup_keep(spark, sf_dir):
         for r in emb.filter(F.col("vec_id").between(1, 8)).collect()
     }
     centroids = [list(map(float, crows[i])) for i in range(1, 9)]
-    # persist=False: one-shot oracle queries have no unpersist point
-    return semdedup(emb, centroids, threshold=0.25, persist=False)
+    # persist=True (r6): `base` (assignment + cent_q + norms, all
+    # interpreted 64-dim folds) is consumed by the skew guard, both pair
+    # sides and two output joins — persisting runs those folds once per
+    # row instead of five times.  The cached frame is query-local (tiny:
+    # one row per vector) and computed inside the timed region; Spark's
+    # ContextCleaner reclaims it when the frame goes out of scope.
+    return semdedup(emb, centroids, threshold=0.25, persist=True)
 
 
 def q_json_containment(spark, sf_dir):
@@ -713,11 +730,22 @@ def q_dsir_weights(spark, sf_dir):
     buckets (B=4096), add-one quantized linear-domain probabilities
     (the operators/lm.py exactness trick), score = Σ f_b·(q_t − q_r)
     as exact BIGINTs."""
-    from sherlog_parser_spark.operators.dsir import dsir_scores, train_dsir
+    from sherlog_parser_spark.operators.dsir import (
+        dsir_scores_from_per_doc,
+        per_doc_bucket_counts,
+        train_dsir_shared,
+    )
 
     docs = _read(spark, sf_dir, "documents")
-    model = train_dsir(docs, docs.filter(F.col("lang") == "en"))
-    return dsir_scores(docs, model).orderBy("doc_id")
+    # r6: ONE tokenize+hash+explode pass feeds both model fits and the
+    # scoring join (was 3+ corpus-wide explode passes).  Count-exact
+    # identical to train_dsir(docs, filter) + dsir_scores(docs, model);
+    # the persisted per-doc table is query-local (computed inside the
+    # timed region, never reused across runs).
+    per_doc = per_doc_bucket_counts(docs).persist()
+    model = train_dsir_shared(per_doc, docs.filter(F.col("lang") == "en").select("doc_id"))
+    ids = docs.select(F.col("doc_id").alias("__id")).distinct()
+    return dsir_scores_from_per_doc(per_doc, ids, model).orderBy("doc_id")
 
 
 def q_pii_redaction(spark, sf_dir):

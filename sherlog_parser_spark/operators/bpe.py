@@ -175,7 +175,7 @@ def bpe_encode(
 
         def enc_doc(text: str) -> list[str]:
             toks: list[str] = []
-            for w in (text or "").strip().lower().split():
+            for w in _mirror_tokens(text or ""):
                 got = cache.get(w)
                 if got is None:
                     got = cache[w] = encode_word(w, ranks)
@@ -203,7 +203,7 @@ def python_mirror_bpe(
     left-to-right within-round merge."""
     freqs: dict[str, int] = {}
     for t in texts:
-        for w in t.strip().lower().split():
+        for w in _mirror_tokens(t):
             freqs[w] = freqs.get(w, 0) + 1
     tables = {w: list(w) + [EOW] for w in freqs}
     merges: list[tuple[str, str]] = []
@@ -230,3 +230,14 @@ def python_mirror_bpe(
                     out.append(s)
             tables[w] = out
     return merges, counts
+
+
+def _mirror_tokens(text: str) -> list[str]:
+    """Sequential-mirror tokenizer with JAVA \\s semantics: the
+    distributed path splits on Java \\s+ = [ \\t\\n\\x0b\\f\\r]+, while
+    Python str.split() also splits on Unicode whitespace (\\xa0,
+    \\u2028, \\x85) — which forked the shared-tokenizer house rule on
+    non-ASCII-whitespace input (r5 ADVICE item, fixed r6)."""
+    import re as _re
+
+    return [t for t in _re.split("[ \\t\\n\\x0b\\f\\r]+", text.lower()) if t]

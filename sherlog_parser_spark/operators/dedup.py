@@ -337,24 +337,40 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     toks = F.array_distinct(
         F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
     )
-    # hash each token ONCE into a long array, then fold bits — avoids 60
-    # repeated md5 evaluations per token
-    toks_h = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
-
-    def bit_sum(j: int):
-        mask = F.lit(1 << j)
-        return F.aggregate(
-            toks_h,
-            F.lit(0).cast("long"),
-            lambda acc, hv: acc + F.when(hv.bitwiseAND(mask) > 0, 1).otherwise(-1),
-        )
-
-    bit_sums = [bit_sum(j) for j in range(60)]
+    # r6 restructure: explode -> 60 codegen'd SUM aggregates instead of
+    # 60 interpreted array folds.  The fold form evaluated the
+    # md5-per-token transform once PER FOLD (an expression tree consumed
+    # by 60 aggregate() calls — the documented outer-reference trap), so
+    # every token was md5-hashed 60x; the exploded shape hashes each
+    # token once, runs the bit tests inside whole-stage codegen with
+    # map-side partial aggregation, and scales to arbitrarily long
+    # documents.  Bit sums are order-free integers -> identical simhash.
+    ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("t"))
+    hv = F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
+    per = ex.select("id", hv.alias("hv"))
+    agg = per.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.col("hv").bitwiseAND(F.lit(1 << j)) > 0, 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(60)
+        ]
+    )
     sim = None
-    for j, s in enumerate(bit_sums):
-        term = F.when(s > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    for j in range(60):
+        # a token-less doc has no aggregate row: null > 0 falls through
+        # to 0, so the left join below restores it with simhash 0 —
+        # exactly the old fold-over-empty-array result
+        term = (
+            F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
         sim = term if sim is None else sim + term
-    return df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(agg, "id", "left")
+        .select("id", sim.alias("simhash"))
+    )
 
 
 def simhash_dup_candidates(

@@ -94,19 +94,14 @@ def _bucket_counts(docs: DataFrame, text_col: str, n_buckets: int) -> DataFrame:
     )
 
 
-def train_dsir(
-    raw_docs: DataFrame,
-    target_docs: DataFrame,
-    text_col: str = "text",
-    n_buckets: int = 4096,
-    quantum: float = 1e6,
+def _model_from_counts(
+    counts: dict[str, DataFrame], n_buckets: int, quantum: float
 ) -> DSIRModel:
-    """Fit the two hashed-ngram models.  Each corpus costs one explode
-    + groupBy; totals are driver scalars read from the same aggregates
-    (no extra pass over the documents)."""
+    """Quantized q-tables + defaults from two (bucket, c) count frames —
+    the shared tail of :func:`train_dsir` and
+    :func:`train_dsir_shared`."""
     out = {}
-    for name, d in (("target", target_docs), ("raw", raw_docs)):
-        cnt = _bucket_counts(d, text_col, n_buckets)
+    for name, cnt in counts.items():
         agg = cnt.agg(F.sum("c").alias("n")).collect()[0]
         total = int(agg["n"] or 0)
         q = cnt.select(
@@ -132,6 +127,73 @@ def train_dsir(
     )
 
 
+def train_dsir(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    quantum: float = 1e6,
+) -> DSIRModel:
+    """Fit the two hashed-ngram models.  Each corpus costs one explode
+    + groupBy; totals are driver scalars read from the same aggregates
+    (no extra pass over the documents)."""
+    return _model_from_counts(
+        {
+            "target": _bucket_counts(target_docs, text_col, n_buckets),
+            "raw": _bucket_counts(raw_docs, text_col, n_buckets),
+        },
+        n_buckets,
+        quantum,
+    )
+
+
+def per_doc_bucket_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """(``__id``, bucket, f) per-document bucket multiplicities — the
+    ONE tokenize+hash+explode pass everything else in the shared
+    train+score shape rolls up from (r6, guide §1.2: remove redundant
+    passes).  Callers persist this frame and hand it to
+    :func:`train_dsir_shared` / :func:`dsir_scores_from_per_doc`."""
+    return (
+        docs.select(
+            F.col(id_col).alias("__id"),
+            F.explode(hashed_grams_expr(text_col)).alias("_g"),
+        )
+        .select("__id", bucket_expr(F.col("_g"), n_buckets).alias("bucket"))
+        .groupBy("__id", "bucket")
+        .agg(F.count("*").alias("f"))
+    )
+
+
+def train_dsir_shared(
+    per_doc: DataFrame,
+    target_ids: DataFrame,
+    n_buckets: int = 4096,
+    quantum: float = 1e6,
+) -> DSIRModel:
+    """Fit both models from ONE per-doc bucket-count table: the raw
+    counts are its bucket rollup, the target counts the rollup of its
+    ``target_ids`` (one-column frame, left-semi) subset.  Count-exact
+    equal to :func:`train_dsir` on (docs, docs-subset) corpora — the
+    q tables, defaults and totals are derived from identical integers —
+    while replacing two more corpus-wide explode passes with rollups of
+    the (usually persisted) per-doc table."""
+    tid = target_ids.select(F.col(target_ids.columns[0]).alias("__id"))
+    raw_cnt = per_doc.groupBy("bucket").agg(F.sum("f").alias("c"))
+    target_cnt = (
+        per_doc.join(tid, "__id", "left_semi")
+        .groupBy("bucket")
+        .agg(F.sum("f").alias("c"))
+    )
+    return _model_from_counts(
+        {"target": target_cnt, "raw": raw_cnt}, n_buckets, quantum
+    )
+
+
 def dsir_scores(
     docs: DataFrame,
     model: DSIRModel,
@@ -141,12 +203,20 @@ def dsir_scores(
     """(id_col, n_grams, dsir_score_q) per document — the quantized
     linear-domain importance score (higher = more target-like).  Docs
     with no grams score (0, 0)."""
-    per_doc = (
-        docs.select(F.col(id_col).alias("__id"), F.explode(hashed_grams_expr(text_col)).alias("_g"))
-        .select("__id", bucket_expr(F.col("_g"), model.n_buckets).alias("bucket"))
-        .groupBy("__id", "bucket")
-        .agg(F.count("*").alias("f"))
-    )
+    per_doc = per_doc_bucket_counts(docs, text_col, id_col, model.n_buckets)
+    ids = docs.select(F.col(id_col).alias("__id")).distinct()
+    return dsir_scores_from_per_doc(per_doc, ids, model, id_col)
+
+
+def dsir_scores_from_per_doc(
+    per_doc: DataFrame,
+    ids: DataFrame,
+    model: DSIRModel,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`dsir_scores` from a precomputed (``__id``, bucket, f)
+    table and a distinct (``__id``) frame — lets the shared train+score
+    shape reuse ONE explode pass."""
     tq = F.broadcast(model.target_q.withColumnRenamed("q", "_qt"))
     rq = F.broadcast(model.raw_q.withColumnRenamed("q", "_qr"))
     scored = (
@@ -164,7 +234,6 @@ def dsir_scores(
             ).alias("dsir_score_q"),
         )
     )
-    ids = docs.select(F.col(id_col).alias("__id")).distinct()
     return ids.join(scored, "__id", "left").select(
         F.col("__id").alias(id_col),
         F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
@@ -258,7 +327,7 @@ def python_mirror_dsir(
     import hashlib
 
     def grams(t: str) -> list[str]:
-        ts = [w for w in t.strip().lower().split() if w]
+        ts = _mirror_tokens(t)
         return ts + [f"{a} {b}" for a, b in zip(ts, ts[1:])]
 
     def bucket(g: str) -> int:
@@ -287,3 +356,14 @@ def python_mirror_dsir(
             s += qt.get(b, qt0) - qr.get(b, qr0)
         out[i] = (len(gs), s)
     return out
+
+
+def _mirror_tokens(text: str) -> list[str]:
+    """Sequential-mirror tokenizer with JAVA \\s semantics: the
+    distributed path splits on Java \\s+ = [ \\t\\n\\x0b\\f\\r]+, while
+    Python str.split() also splits on Unicode whitespace (\\xa0,
+    \\u2028, \\x85) — which forked the shared-tokenizer house rule on
+    non-ASCII-whitespace input (r5 ADVICE item, fixed r6)."""
+    import re as _re
+
+    return [t for t in _re.split("[ \\t\\n\\x0b\\f\\r]+", text.lower()) if t]

@@ -72,36 +72,53 @@ class BigramLM(NamedTuple):
     v_smooth: int
 
 
-def _mapped_pairs(docs: DataFrame, text_col: str, id_col: str, vocab: DataFrame) -> DataFrame:
-    """(id, prev, cur, oov) per token instance: ``cur`` is each token
-    mapped to vocab-or-<unk>, ``prev`` its predecessor (``<s>`` for the
-    first).  Built from two shifted array slices (the shingle idiom —
-    no positional self-join), then two BROADCAST joins against the
-    ≤V-row vocab; empty docs vanish here and are restored by the
-    scorer's left join."""
+def _raw_pairs(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, i, p_raw, w_raw) per token instance — the ONE tokenize+zip+
+    explode pass of the bigram stack.  ``i`` is the 0-based token
+    position (``i == 0`` identifies the BOS context positionally — a
+    literal '<s>' corpus token is just a token, the r5-advice fix);
+    built from two shifted array slices (the shingle idiom — no
+    positional self-join).  Empty docs vanish here and are restored by
+    the scorer's left join."""
     toks = docs.select(F.col(id_col).alias("__id"), _lower_tokens(text_col).alias("tk"))
     full = F.concat(F.array(F.lit(BOS)), F.col("tk"))
     z = F.arrays_zip(
         F.slice(full, 1, F.size("tk")).alias("p"),
         F.col("tk").alias("w"),
     )
-    inst = toks.select("__id", F.explode(z).alias("pw")).select(
-        "__id", F.col("pw.p").alias("p_raw"), F.col("pw.w").alias("w_raw")
+    return toks.select("__id", F.posexplode(z).alias("i", "pw")).select(
+        "__id", "i", F.col("pw.p").alias("p_raw"), F.col("pw.w").alias("w_raw")
     )
+
+
+def _map_pairs(raw: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Vocab-map a :func:`_raw_pairs` frame to (id, prev, cur, oov) via
+    two BROADCAST joins against the ≤V-row vocab.  The BOS context is
+    keyed on token POSITION (i == 0), exactly like the DuckDB oracle's
+    ``CASE WHEN r.i = 1`` and the Python mirror — a literal '<s>' token
+    elsewhere in the corpus maps by vocab membership like any other
+    token (r5 ADVICE item, fixed r6)."""
     vb_p = F.broadcast(vocab.select(F.col("token").alias("p_raw"), F.lit(1).alias("p_in")))
     vb_w = F.broadcast(vocab.select(F.col("token").alias("w_raw"), F.lit(1).alias("w_in")))
     return (
-        inst.join(vb_p, "p_raw", "left")
+        raw.join(vb_p, "p_raw", "left")
         .join(vb_w, "w_raw", "left")
         .select(
             "__id",
-            F.when((F.col("p_in") == 1) | (F.col("p_raw") == BOS), F.col("p_raw"))
+            F.when(F.col("i") == 0, F.lit(BOS))
+            .when(F.col("p_in") == 1, F.col("p_raw"))
             .otherwise(F.lit(UNK))
             .alias("prev"),
             F.when(F.col("w_in") == 1, F.col("w_raw")).otherwise(F.lit(UNK)).alias("cur"),
             F.when(F.col("w_in").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("oov"),
         )
     )
+
+
+def _mapped_pairs(docs: DataFrame, text_col: str, id_col: str, vocab: DataFrame) -> DataFrame:
+    """(id, prev, cur, oov) per token instance — see :func:`_raw_pairs`
+    and :func:`_map_pairs`."""
+    return _map_pairs(_raw_pairs(docs, text_col, id_col), vocab)
 
 
 def train_bigram_lm(
@@ -155,6 +172,20 @@ def lm_likelihood(
     means the model join touches one row per distinct (doc, prev, cur),
     not one per instance."""
     pairs = _mapped_pairs(docs, text_col, id_col, lm.vocab)
+    ids = docs.select(F.col(id_col).alias("__id")).distinct()
+    return _likelihood_from_pairs(pairs, ids, lm, id_col, quantum)
+
+
+def _likelihood_from_pairs(
+    pairs: DataFrame,
+    ids: DataFrame,
+    lm: BigramLM,
+    id_col: str = "doc_id",
+    quantum: float = 1e6,
+) -> DataFrame:
+    """Scoring tail of :func:`lm_likelihood` from an existing mapped-pair
+    frame and a distinct (``__id``) frame — lets the one-shot
+    train+score shape reuse one explode pass (r6)."""
     per_doc = pairs.groupBy("__id", "prev", "cur").agg(
         F.count("*").alias("m"), F.sum("oov").alias("oov_m")
     )
@@ -172,7 +203,6 @@ def lm_likelihood(
             F.sum("oov_m").alias("lm_oov"),
         )
     )
-    ids = docs.select(F.col(id_col).alias("__id")).distinct()
     return (
         ids.join(scored, "__id", "left")
         .select(
@@ -190,12 +220,35 @@ def lm_quality_scores(
     vocab_size: int = 256,
     quantum: float = 1e6,
 ) -> DataFrame:
-    """Train on ``docs`` and score ``docs`` (the one-shot self-scoring
-    shape the oracle query uses — two linear passes, nothing persisted;
-    production callers training once and scoring many frames should
-    persist ``lm.bigrams``/``lm.contexts`` themselves)."""
-    lm = train_bigram_lm(docs, text_col, id_col, vocab_size)
-    return lm_likelihood(docs, lm, text_col, id_col, quantum)
+    """Train on ``docs`` and score ``docs`` — the one-shot self-scoring
+    shape the oracle query uses.
+
+    r6 (guide §1.2): ONE tokenize+zip+explode pass feeds the unigram
+    counts (``w_raw`` enumerates every token exactly once), the bigram
+    model, and the per-doc scoring — the separate train-unigram,
+    train-pair and score-pair corpus passes of the
+    ``train_bigram_lm`` + ``lm_likelihood`` composition collapse onto a
+    persisted raw-pair table.  Count-exact identical output (the same
+    integers flow into the same quantized formula); pinned by the
+    Python-mirror differential tests.  The persisted frame is
+    query-local — computed inside the timed region, never reused across
+    runs.  Production callers training once and scoring many frames
+    should persist ``lm.bigrams``/``lm.contexts`` themselves."""
+    raw = _raw_pairs(docs, text_col, id_col).persist()
+    unig = raw.groupBy(F.col("w_raw").alias("token")).agg(F.count("*").alias("c"))
+    vocab_list = [
+        r["token"]
+        for r in unig.orderBy(F.desc("c"), F.asc("token")).limit(int(vocab_size)).collect()
+    ]
+    vocab = docs.sparkSession.createDataFrame([(t,) for t in vocab_list], "token string")
+    mapped = _map_pairs(raw, vocab)
+    bigrams = mapped.groupBy("prev", "cur").agg(F.count("*").alias("c"))
+    contexts = bigrams.groupBy("prev").agg(F.sum("c").alias("n"))
+    lm = BigramLM(
+        vocab=vocab, bigrams=bigrams, contexts=contexts, v_smooth=len(vocab_list) + 1
+    )
+    ids = docs.select(F.col(id_col).alias("__id")).distinct()
+    return _likelihood_from_pairs(mapped, ids, lm, id_col, quantum)
 
 
 def lm_log_likelihood(
@@ -238,7 +291,7 @@ def python_mirror_scores(
 ) -> dict[int, tuple[int, int, float]]:
     """Sequential mirror of train+score for differential tests:
     {id: (lm_score_q, lm_oov, log_prob)}."""
-    toks = {i: [t for t in txt.strip().lower().split() if t] for i, txt in rows}
+    toks = {i: _mirror_tokens(txt) for i, txt in rows}
     counts: dict[str, int] = {}
     for ts in toks.values():
         for t in ts:
@@ -435,7 +488,7 @@ def python_mirror_trigram(
     """Sequential mirror of train_trigram_lm + trigram_likelihood:
     {id: (lm3_score_q, lm3_oov)} — same arithmetic order, bit-exact."""
     w3, w2, w1 = (float(w) for w in weights)
-    toks = {i: [t for t in txt.strip().lower().split() if t] for i, txt in rows}
+    toks = {i: _mirror_tokens(txt) for i, txt in rows}
     counts: dict[str, int] = {}
     for ts in toks.values():
         for t in ts:
@@ -473,3 +526,14 @@ def python_mirror_trigram(
         oov = sum(1 for t in ts if t not in vocab)
         out[i] = (sq, oov)
     return out
+
+
+def _mirror_tokens(text: str) -> list[str]:
+    """Sequential-mirror tokenizer with JAVA \\s semantics: the
+    distributed path splits on Java \\s+ = [ \\t\\n\\x0b\\f\\r]+, while
+    Python str.split() also splits on Unicode whitespace (\\xa0,
+    \\u2028, \\x85) — which forked the shared-tokenizer house rule on
+    non-ASCII-whitespace input (r5 ADVICE item, fixed r6)."""
+    import re as _re
+
+    return [t for t in _re.split("[ \\t\\n\\x0b\\f\\r]+", text.lower()) if t]

@@ -45,7 +45,6 @@ from pyspark.sql import functions as F
 
 from sherlog_parser_spark.operators.components import connected_components
 from sherlog_parser_spark.operators.similarity import (
-    cosine_expr,
     dot_expr,
     ivf_assign,
     norm_expr,
@@ -142,19 +141,6 @@ def semdedup(
     if assigned is None:
         assigned = ivf_assign(emb, centroids, id_col, vec_col)
 
-    # loud skew guard: n_lists rows to the driver, never data-sized
-    sizes = assigned.groupBy("list_id").count().collect()
-    hot = [(r["list_id"], r["count"]) for r in sizes if r["count"] > max_cluster_rows]
-    if hot:
-        lid, n = max(hot, key=lambda t: t[1])
-        raise ValueError(
-            f"semdedup: cluster {lid} holds {n} vectors "
-            f"(> max_cluster_rows={max_cluster_rows}); the within-cluster "
-            f"pair join would be quadratic in that cluster — train more "
-            f"centers (n_lists ~ corpus_size / target_cluster_rows) or "
-            f"raise the bound explicitly"
-        )
-
     cent_of = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
     )
@@ -166,19 +152,50 @@ def semdedup(
         # otherwise re-run both norm folds for every candidate pair
         # (~3x the interpreted-fold work; same doubles either way)
         norm_expr(F.col(vec_col)).alias("__n"),
+        # zero-norm guard (r5 ADVICE): clamp the denominator to the
+        # smallest positive normal double so a zero embedding yields
+        # cosine 0 (the numpy path's nrm[nrm==0]=1 convention) instead
+        # of ANSI DIVIDE_BY_ZERO / NaN; for any nonzero norm the
+        # greatest() is the identity, so oracle values are unchanged
         F.floor(
             F.lit(float(quantum))
-            * cosine_expr(F.col(vec_col), F.element_at(cent_of, F.col("list_id") + 1))
+            * (
+                dot_expr(F.col(vec_col), F.element_at(cent_of, F.col("list_id") + 1))
+                / F.greatest(
+                    norm_expr(F.col(vec_col))
+                    * norm_expr(F.element_at(cent_of, F.col("list_id") + 1)),
+                    F.lit(2.2250738585072014e-308),
+                )
+            )
             + F.lit(0.5)
         )
         .cast("long")
         .alias("cent_q"),
     )
     if persist:
-        # consumed by the pair join (twice) and the output; callers pass
-        # persist=False for one-shot shapes with no unpersist point
-        # (e.g. the oracle query — assignment is a cheap narrow map)
+        # consumed by the skew guard, the pair join (twice), the members
+        # join and the output join — with persist the assignment +
+        # cent_q narrow map runs ONCE (the guard materializes the
+        # cache); callers pass persist=False for shapes with no
+        # unpersist point where recompute is cheaper than caching
         base = base.persist()
+    # loud skew guard: n_lists rows to the driver, never data-sized
+    # (r6: counted from `base` AFTER the persist hook so the guard pass
+    # doubles as the cache-population pass instead of an extra
+    # assignment scan)
+    sizes = base.groupBy("list_id").count().collect()
+    hot = [(r["list_id"], r["count"]) for r in sizes if r["count"] > max_cluster_rows]
+    if hot:
+        if persist:
+            base.unpersist()
+        lid, n = max(hot, key=lambda t: t[1])
+        raise ValueError(
+            f"semdedup: cluster {lid} holds {n} vectors "
+            f"(> max_cluster_rows={max_cluster_rows}); the within-cluster "
+            f"pair join would be quadratic in that cluster — train more "
+            f"centers (n_lists ~ corpus_size / target_cluster_rows) or "
+            f"raise the bound explicitly"
+        )
     try:
         if pair_impl == "numpy":
             pairs = _numpy_cluster_pairs(base, float(threshold))
@@ -199,7 +216,14 @@ def semdedup(
                 a.join(b, "list_id")
                 .filter(F.col("id_a") < F.col("id_b"))
                 .filter(
-                    dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+                    # same zero-norm clamp as cent_q: identity for any
+                    # nonzero-norm pair, cosine 0 for zero vectors (the
+                    # numpy path's convention) instead of ANSI
+                    # DIVIDE_BY_ZERO
+                    dot_expr(F.col("va"), F.col("vb"))
+                    / F.greatest(
+                        F.col("na") * F.col("nb"), F.lit(2.2250738585072014e-308)
+                    )
                     >= F.lit(float(threshold))
                 )
                 .select("id_a", "id_b")

@@ -117,3 +117,23 @@ def test_lm_plan_shape(spark):
     plan = lm_quality_scores(docs, vocab_size=5)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_lm_literal_bos_token_and_nbsp_match_mirror(spark):
+    """r5 ADVICE regressions: (a) a literal '<s>' corpus token must map
+    by vocab membership (position keys the BOS context, not string
+    equality); (b) non-ASCII whitespace (\xa0) is NOT a Java \\s token
+    separator — mirror and distributed path must agree on both."""
+    corpus = [
+        (0, "alpha <s> beta"),          # literal '<s>', OOV under top-2 vocab
+        (1, "alpha beta alpha beta"),
+        (2, "a\xa0b a\xa0b"),           # one token 'a\xa0b', twice
+        (3, "<s> gamma"),               # literal '<s>' at position 0
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["lm_score_q"], r["lm_oov"])
+        for r in lm_quality_scores(docs, vocab_size=2).collect()
+    }
+    mirror = python_mirror_scores(corpus, vocab_size=2)
+    assert got == {i: (sq, oov) for i, (sq, oov, _) in mirror.items()}
