@@ -71,21 +71,29 @@ def entry(spark: SparkSession) -> DataFrame:
 def q_template_freq(spark, sf_dir):
     logs = _logs(spark, sf_dir)
     return (
-        logs.withColumn("template", mask_template_expr("text"))
+        # guards=False (r6): the guarded chain embeds the chain-so-far in
+        # both CASE branches (~5x tree) and costs ~1s extra codegen per
+        # query, while execution at this table size is negligible;
+        # byte-equality of both forms is pinned by the masking fuzz suite
+        logs.withColumn("template", mask_template_expr("text", guards=False))
         .groupBy("template")
         .agg(F.count("*").alias("frequency"))
     )
 
 
 def q_event_type_counts(spark, sf_dir):
-    logs = _logs(spark, sf_dir).withColumn("template", mask_template_expr("text"))
+    logs = _logs(spark, sf_dir).withColumn(
+        "template", mask_template_expr("text", guards=False)
+    )
     return logs.groupBy(event_type_expr("template").alias("event_type_inferred")).agg(
         F.count("*").alias("n")
     )
 
 
 def q_normalized_templates(spark, sf_dir):
-    logs = _logs(spark, sf_dir).withColumn("template", mask_template_expr("text"))
+    logs = _logs(spark, sf_dir).withColumn(
+        "template", mask_template_expr("text", guards=False)
+    )
     return (
         logs.select(normalize_template_expr("template").alias("normalized"))
         .groupBy("normalized")
@@ -100,15 +108,21 @@ def q_param_extract(spark, sf_dir):
     # seconds of per-query analysis+codegen for a 1000-row input (this was
     # the r1 1.6s -> r2 3.8s "param_extract regression" — a driver-side
     # planning constant, not execution)
+    # r6: localCheckpoint barrier between mask and params+explode — the
+    # combined Generate-over-inline-params plan costs ~2.2s of
+    # driver-side codegen/analysis for a 1000-row input (measured; the
+    # split is 0.6s), and the materialized intermediate is 1000 tiny
+    # rows computed inside the timed region.  Row-identical output.
     parsed = logs.withColumn(
         "template", mask_template_expr("text", guards=False)
-    ).withColumn("params", extract_params_expr("text", "template"))
+    ).localCheckpoint()
+    parsed = parsed.withColumn("params", extract_params_expr("text", "template"))
     return parsed.select("event_id", F.explode("params").alias("param_name", "param_value"))
 
 
 def q_distinct_templates(spark, sf_dir):
     logs = _logs(spark, sf_dir)
-    return logs.select(mask_template_expr("text").alias("t")).agg(
+    return logs.select(mask_template_expr("text", guards=False).alias("t")).agg(
         F.countDistinct("t").alias("n_templates")
     )
 
@@ -595,21 +609,41 @@ def q_text_stats(spark, sf_dir):
     # quality is emitted as floor(q*1e4 + 0.5) — an integer — because
     # round() semantics diverge between engines exactly when q is a finite
     # decimal (Spark rounds the binary double, DuckDB the decimal repr)
-    base = docs.select(
+    #
+    # r6: the base stats and the Gopher repetition signals come out of
+    # ONE bound projection over one documents scan (was two scans joined
+    # on doc_id) — column-identical output, one join and one scan fewer
+    bound = docs.select(
+        "doc_id",
+        "text",
+        TS.lines_expr(
+            F.replace(F.col("text"), F.lit(" merge "), F.lit("\n"))
+        ).alias("lines"),
+        TS.word_shingles_expr("text", 2).alias("sh2"),
+        TS.word_shingles_expr("text", 5).alias("sh5"),
+    )
+
+    def x1e4(c):
+        return F.floor(c * 10000 + F.lit(0.5)).cast("long")
+
+    base = bound.select(
         "doc_id",
         TS.lang_id_expr("text").alias("lang_pred"),
         F.floor(TS.quality_score_expr("text") * 10000 + F.lit(0.5)).cast("long").alias("quality_x1e4"),
         TS.ws_token_count_expr("text").alias("ws_tokens"),
         TS.bpe_ish_token_count_expr("text").alias("bpe_tokens"),
         TS.fingerprint_expr("text", 3).alias("fingerprint"),
+        F.size("lines").alias("n_lines"),
+        x1e4(TS.dup_frac_expr("lines")).alias("dup_line_frac_x1e4"),
+        x1e4(TS.dup_char_frac_expr("lines")).alias("dup_line_char_frac_x1e4"),
+        x1e4(TS.top_ngram_char_frac_expr("sh2", "text")).alias("top_2gram_char_frac_x1e4"),
+        x1e4(TS.dup_frac_expr("sh5")).alias("dup_5gram_frac_x1e4"),
     )
     # r5: bigram-LM quality scores joined in (operators/lm.py) — the
     # scorer is doc-complete (empty docs score (0, 0)), so a plain
     # inner join keeps the frame doc-complete
     lm_scores = LM.lm_quality_scores(docs, vocab_size=256)
-    return base.join(q_repetition_stats(spark, sf_dir), "doc_id").join(
-        lm_scores, "doc_id"
-    )
+    return base.join(lm_scores, "doc_id")
 
 
 def q_repetition_stats(spark, sf_dir):
@@ -745,7 +779,8 @@ def q_dsir_weights(spark, sf_dir):
     per_doc = per_doc_bucket_counts(docs).persist()
     model = train_dsir_shared(per_doc, docs.filter(F.col("lang") == "en").select("doc_id"))
     ids = docs.select(F.col("doc_id").alias("__id")).distinct()
-    return dsir_scores_from_per_doc(per_doc, ids, model).orderBy("doc_id")
+    # no output orderBy (r6): the driver comparison is order-insensitive
+    return dsir_scores_from_per_doc(per_doc, ids, model)
 
 
 def q_pii_redaction(spark, sf_dir):

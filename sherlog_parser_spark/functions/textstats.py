@@ -32,6 +32,24 @@ def _tokens(text: Column | str) -> Column:
     return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != F.lit(""))
 
 
+def _let(val: Column, body) -> Column:
+    """Let-binding inside a single expression: evaluate ``val`` ONCE and
+    hand it to ``body`` as a bound lambda variable —
+    ``element_at(transform(array(val), body), 1)``.
+
+    Interpreted HOF expressions do no common-subexpression elimination:
+    an expression TREE referenced k times in one projection evaluates k
+    times (the documented O(len^2) trap for outer references inside
+    lambdas applies per-reference too).  A lambda VARIABLE, by contrast,
+    is a slot read.  This binds multi-consumer intermediates (token
+    arrays, shingle arrays, hit counts) without forcing callers to
+    project extra columns — measured 3-7x on lang_id/fingerprint (r6).
+    ``body(null)`` must reproduce the unbound null semantics; all users
+    here are null-safe CASE/size chains (pinned by the expr==py fuzz
+    suite)."""
+    return F.element_at(F.transform(F.array(val), body), 1)
+
+
 def ws_token_count_expr(text: Column | str) -> Column:
     """Whitespace token count."""
     return F.size(_tokens(text))
@@ -54,8 +72,15 @@ def punct_ratio_expr(text: Column | str) -> Column:
 
 def stopword_ratio_expr(text: Column | str, lang: str = "en") -> Column:
     toks = _tokens(F.lower(F.col(text) if isinstance(text, str) else text))
-    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS[lang])))
-    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+    words = tuple(STOPWORDS[lang])
+
+    def ratio(tk):
+        hits = F.size(F.filter(tk, lambda t: t.isin(*words)))
+        return F.when(F.size(tk) > 0, hits.cast("double") / F.size(tk)).otherwise(
+            F.lit(0.0)
+        )
+
+    return _let(toks, ratio)
 
 
 def quality_score_expr(text: Column | str) -> Column:
@@ -76,35 +101,58 @@ def lang_id_expr(text: Column | str) -> Column:
     'unknown' when nothing hits."""
     c = F.col(text) if isinstance(text, str) else text
     toks = _tokens(F.lower(c))
-    # one-arg lambdas only (pyspark dispatches on lambda arity)
-    def sw_hits(lang: str):
-        words = tuple(STOPWORDS[lang])
-        return F.size(F.filter(toks, lambda t: t.isin(*words)))
 
-    hits = {lang: sw_hits(lang) for lang in LANG_ORDER}
-    # explicit argmax chain (first language with max hits wins)
-    max_hits = F.greatest(*[hits[lang] for lang in LANG_ORDER])
-    expr = F.when(c.rlike(CJK_PATTERN), "zh")
-    for lang in LANG_ORDER:
-        expr = expr.when((max_hits > 0) & (hits[lang] == max_hits), lang)
-    return expr.otherwise("unknown")
+    # r6: the token array and the per-language hit counts are each
+    # _let-bound so they evaluate once — the flat formulation
+    # re-tokenized per reference (4 langs x 2 uses = 8 tokenizations)
+    def pick(tk):
+        # one-arg lambdas only (pyspark dispatches on lambda arity)
+        def sw_hits(lang: str):
+            words = tuple(STOPWORDS[lang])
+            return F.size(F.filter(tk, lambda t: t.isin(*words)))
+
+        hits_arr = F.array(*[sw_hits(lang) for lang in LANG_ORDER])
+
+        def decide(hs):
+            def h(i: int):
+                return F.element_at(hs, i + 1)
+
+            # explicit argmax chain (first language with max hits wins)
+            max_hits = F.greatest(*[h(i) for i in range(len(LANG_ORDER))])
+            e = None
+            for i, lang in enumerate(LANG_ORDER):
+                cond = (max_hits > 0) & (h(i) == max_hits)
+                e = F.when(cond, lang) if e is None else e.when(cond, lang)
+            return e.otherwise("unknown")
+
+        return _let(hits_arr, decide)
+
+    return F.when(c.rlike(CJK_PATTERN), "zh").otherwise(_let(toks, pick))
 
 
 def word_shingles_expr(text: Column | str, n: int = 3) -> Column:
     """Array of word n-gram shingle strings (space-joined)."""
     toks = _tokens(text)
+
     # Zip n shifted slices and concat inside the lambda.  Do NOT write
     # this as transform(indices, i -> element_at(toks, i+j)): a lambda
     # that references the outer `toks` tree re-evaluates the full
     # tokenization PER ELEMENT (interpreted HOFs do no CSE) — measured
-    # O(len^2) blow-up on long documents.
-    m = F.size(toks) - (n - 1)  # number of shingles
-    slices = [F.slice(toks, j + 1, m).alias(f"s{j}") for j in range(n)]
-    z = F.arrays_zip(*slices)
-    shingles = F.transform(z, lambda s: F.concat_ws(" ", *[s[f"s{j}"] for j in range(n)]))
-    return F.when(F.size(toks) >= n, shingles).otherwise(
-        F.array().cast("array<string>")
-    )
+    # O(len^2) blow-up on long documents.  The token array itself is
+    # _let-bound (r6): the flat form evaluated it once per slice + once
+    # for each size() reference (~5 tokenizations per row).
+    def mk(tk):
+        m = F.size(tk) - (n - 1)  # number of shingles
+        slices = [F.slice(tk, j + 1, m).alias(f"s{j}") for j in range(n)]
+        z = F.arrays_zip(*slices)
+        shingles = F.transform(
+            z, lambda s: F.concat_ws(" ", *[s[f"s{j}"] for j in range(n)])
+        )
+        return F.when(F.size(tk) >= n, shingles).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return _let(toks, mk)
 
 
 def fingerprint_expr(text: Column | str, n: int = 3) -> Column:
@@ -113,8 +161,13 @@ def fingerprint_expr(text: Column | str, n: int = 3) -> Column:
     empty/short docs fall back to md5 of the trimmed text."""
     c = F.col(text) if isinstance(text, str) else text
     sh = word_shingles_expr(c, n)
-    return F.when(F.size(sh) > 0, F.array_min(F.transform(sh, F.md5))).otherwise(
-        F.md5(F.trim(c))
+    # _let-bound (r6): the shingle array is consumed by both size() and
+    # the md5 fold — the flat form built it twice per row
+    return _let(
+        sh,
+        lambda s: F.when(F.size(s) > 0, F.array_min(F.transform(s, F.md5))).otherwise(
+            F.md5(F.trim(c))
+        ),
     )
 
 

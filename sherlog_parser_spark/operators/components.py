@@ -49,20 +49,23 @@ def connected_components(
             .agg(F.min("component").alias("nmin"))
         )
         # localCheckpoint truncates lineage each round — without it the
-        # plan nests every prior iteration and analysis time explodes
-        new_labels = (
+        # plan nests every prior iteration and analysis time explodes.
+        # r6: the change flag rides the checkpointed frame (a label only
+        # changes when nmin < component), so the convergence check is a
+        # narrow limit-1 scan of the checkpoint instead of a second
+        # shuffle join per round — iterative rounds are driver/job-count
+        # bound on small graphs, and this halves the per-round job cost.
+        new_full = (
             labels.join(neighbor_min, "id", "left")
-            .select("id", F.least(F.col("component"), F.coalesce("nmin", F.col("component"))).alias("component"))
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce("nmin", F.col("component"))).alias("component"),
+                F.coalesce(F.col("nmin") < F.col("component"), F.lit(False)).alias("_chg"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_full.filter("_chg").limit(1).count()
+        labels = new_full.select("id", "component")
         if changed == 0:
             break
     if changed != 0:

@@ -243,7 +243,10 @@ def semdedup(
                 "list_id",
                 F.coalesce(F.col("kept"), F.lit(True)).alias("kept"),
             )
-            .orderBy(id_col)
+            # no output orderBy (r6): every consumer — the oracle
+            # comparison, the curation fate filter, the tests — is
+            # order-insensitive, and the global sort cost a sampling
+            # pass + range shuffle per run
         )
         # materialization happens in the caller's action; hand them the
         # release hook instead of unpersisting under a lazy frame
