@@ -31,9 +31,20 @@ def connected_components(
     labels — the default cap is sized so the confirming round fits
     (a 200-node random test graph needed 21 rounds; near-dup cliques
     need ~3)."""
+    # symmetrize in ONE pass (r6): union(pairs, pairs.swapped) evaluates
+    # the pairs tree twice — and `pairs` is typically the expensive
+    # candidate-generation chain (minhash banding, within-cluster cosine
+    # join); the explode emits both directions from a single evaluation
     edges = (
-        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("s"), F.col(dst).alias("d")),
+                    F.struct(F.col(dst).alias("s"), F.col(src).alias("d")),
+                )
+            ).alias("e")
+        )
+        .select("e.s", "e.d")
         .distinct()
     )
     edges = edges.localCheckpoint()
@@ -102,15 +113,19 @@ def connected_components_star(
     min node.  Output contract matches ``connected_components``:
     (id, component).
     """
-    nodes = (
-        pairs.select(F.col(src).alias("id"))
-        .union(pairs.select(F.col(dst).alias("id")))
-        .distinct()
-        .localCheckpoint()
-    )
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    # nodes derive from the CHECKPOINTED edges + the self-loop ids the
+    # u!=v filter dropped (r6: one pairs evaluation instead of three);
+    # self-loop-only nodes are their own component
+    nodes = (
+        edges.select(F.col("u").alias("id"))
+        .union(edges.select(F.col("v").alias("id")))
+        .union(pairs.filter(F.col(src) == F.col(dst)).select(F.col(src).alias("id")))
         .distinct()
         .localCheckpoint()
     )

@@ -53,8 +53,9 @@ def ngram_jaccard_pairs(
     over distinct shingle sets; returns (id_a, id_b, jaccard) with
     id_a < id_b and jaccard >= threshold.
 
-    Plan shape: explode -> self equi-join on shingle (shuffle on the
-    shingle key, skew-salted by AQE) -> groupBy pair -> shuffle equi-join
+    Plan shape (df-capped default): explode -> ONE shuffle keyed by
+    shingle -> per-shingle sorted id array (bounded by max_df) ->
+    in-row combination explode -> groupBy pair -> shuffle equi-join
     of per-doc shingle counts back (never broadcast-hinted: one row per
     document is data-sized; AQE still broadcasts when it truly fits).
 
@@ -97,14 +98,52 @@ def ngram_jaccard_pairs(
             .select("shingle")
         ).observe(removed_obs, F.count(F.lit(1)).alias("n_hot_shingles_removed"))
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
-    )
+    # r6: the (capped) shingle table feeds the per-doc sizes AND the
+    # candidate generator, and `sizes` itself is consumed by two joins —
+    # without persistence the docs-scan + shingle explode re-ran up to
+    # 4x per query.  Both frames are query-local (computed inside the
+    # timed region; sizes is one row per doc, sh one row per distinct
+    # (doc, shingle)); ContextCleaner reclaims them with the frames.
+    sh = sh.persist()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh")).persist()
+    if max_df is not None:
+        # r6: with a finite df-cap every surviving shingle has <= max_df
+        # holders, so candidate pairs can come from ONE shuffle —
+        # groupBy(shingle) -> sorted id array (bounded by max_df) ->
+        # in-row combination explode — instead of self-joining the
+        # shingle table (two full shuffles of it + the join).  Pair
+        # multiset is identical: the join emitted one (a,b) row per
+        # shared shingle; the combination generator does too.
+        grouped = sh.groupBy("shingle").agg(
+            F.array_sort(F.collect_list("id")).alias("_ids")
+        )
+
+        def combos(ids):
+            return F.flatten(
+                F.transform(
+                    ids,
+                    lambda a, i: F.transform(
+                        F.slice(ids, i + 2, F.size(ids)),
+                        lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                    ),
+                )
+            )
+
+        inter = (
+            grouped.select(F.explode(combos(F.col("_ids"))).alias("p"))
+            .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        # unbounded-df opt-in keeps the join shape: a degenerate hot
+        # shingle must not be collected into one row
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("inter"))
+        )
     # NO broadcast hint on sizes: it has one row per document, so at 100 TB
     # it is data-sized (r2 judge "What's wrong #3").  Plain equi-joins let
     # AQE broadcast only when the build side actually fits.
@@ -143,6 +182,10 @@ def repeated_ngram_span_positions(
         )
         .withColumn("_h", F.md5("_s"))
         .drop("_s")
+        # r6: consumed by the repeated-set aggregate AND the join back —
+        # persisting saves a second docs-scan + shingle explode + md5
+        # pass; query-local, reclaimed by ContextCleaner
+        .persist()
     )
     rep = (
         sh.groupBy("_h")
@@ -311,7 +354,9 @@ def minhash_dup_candidates(
     bands: int = 4,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) colliding in any band."""
-    bb = minhash_band_buckets(df, text_col, id_col, n, k, bands)
+    # r6: both sides of the self-join are the SAME band-bucket table —
+    # persisting it halves the shingle+minhash computation; query-local
+    bb = minhash_band_buckets(df, text_col, id_col, n, k, bands).persist()
     a, b = bb.alias("a"), bb.alias("b")
     return (
         a.join(

@@ -460,9 +460,16 @@ def trigram_likelihood(
             ["p2", "p1", "cur"],
             "left",
         )
-        .join(F.broadcast(lm.tri_ctx.select("p2", "p1", F.col("n").alias("n3"))), ["p2", "p1"], "left")
+        # NO forced broadcast on tri_ctx/bigrams (r5 VERDICT "What's
+        # wrong" #1, fixed r6): both are corpus-DISTINCT tables bounded
+        # only by (V+2)^2 — ≤66k rows at the default V=256 but ~2.5G at
+        # a realistic V=50k, where a forced broadcast OOMs the driver.
+        # Plain equi-joins let AQE broadcast exactly when the build side
+        # actually fits (the bigram scorer's shape, lm.py:~245).  The
+        # ≤V+2-row contexts/unigrams stay broadcast-hinted.
+        .join(lm.tri_ctx.select("p2", "p1", F.col("n").alias("n3")), ["p2", "p1"], "left")
         .join(
-            F.broadcast(lm.bigrams.select(F.col("prev").alias("p1"), "cur", F.col("c").alias("c2"))),
+            lm.bigrams.select(F.col("prev").alias("p1"), "cur", F.col("c").alias("c2")),
             ["p1", "cur"],
             "left",
         )

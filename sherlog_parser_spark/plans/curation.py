@@ -130,9 +130,9 @@ def curation_dag(
     * ``cleaned`` — (doc_id, text) survivors, substring-cut and
       PII-redacted;
     * ``ledger`` — one row per INPUT doc: (doc_id, fate) where fate is
-      'kept' | 'line_filtered' | 'exact_dup' | 'near_dup' |
-      'semantic_dup' | 'quality:<reason>' | 'lm_filtered' |
-      'classifier_filtered' | 'contaminated'.
+      'kept' | 'line_filtered' | 'paragraph_filtered' | 'exact_dup' |
+      'near_dup' | 'semantic_dup' | 'quality:<reason>' | 'lm_filtered' |
+      'classifier_filtered' | 'dsir_filtered' | 'contaminated'.
 
     ``classifier_filter`` (optional): ``{"clf": QualityClassifier,
     "min_prob": p}`` — scores the quality survivors with the distilled
@@ -254,6 +254,11 @@ def curation_dag(
     near_losers = _reuse(
         comps.filter(F.col("id") != F.col("component")).select(F.col("id").alias("doc_id"))
     )
+    # s2 is consumed by both the span-detection and the cut pass;
+    # an A/B in r6 measured persisting it slightly SLOWER (10.5 vs
+    # 10.1s warm) than recomputing the cheap semi/anti joins from the
+    # already-persisted winners/near_losers — left unpersisted on
+    # purpose
     s2 = s1.join(near_losers, "doc_id", "left_anti")
 
     # optional SemDeDup semantic near-dedup over the lexical survivors

@@ -173,18 +173,15 @@ def compact_stream_output(
                 tgt = jvm.org.apache.hadoop.fs.Path(tgt_dir, nm)
                 # Hadoop rename reports failure by returning FALSE, not
                 # raising; ignoring it and then deleting staging would
-                # silently lose the batch's rows (r4 review).  The only
-                # benign false: a rerun already moved this exact file —
-                # VERIFIED by length (r5 advice: on a copy+delete rename
-                # or a name collision, a partial/foreign file at the
-                # target must not cause the staged rows to be discarded;
-                # mismatched targets are replaced, not trusted).
+                # silently lose the batch's rows (r4 review).  While the
+                # staged file still EXISTS, it is the authoritative copy
+                # by construction — a successful earlier move would have
+                # removed it — so any file already at the target
+                # (partial copy+delete remnant, foreign name collision)
+                # is replaced, never trusted (r5 ADVICE: an
+                # equal-length heuristic could bless a partial or
+                # foreign file; fixed r6 to delete-and-replace).
                 if not fs.rename(st.getPath(), tgt):
-                    if (
-                        fs.exists(tgt)
-                        and fs.getFileStatus(tgt).getLen() == st.getLen()
-                    ):
-                        continue
                     fs.delete(tgt, False)
                     if not fs.rename(st.getPath(), tgt):
                         raise IOError(

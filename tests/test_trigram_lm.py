@@ -75,3 +75,28 @@ def test_trigram_plan_broadcasts_lower_orders(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_trigram_score_no_forced_broadcast_of_model_tables(spark):
+    """r5 VERDICT perf item #1: the corpus-distinct tri_ctx/bigram model
+    tables must not be broadcast-HINTED (AQE may still choose broadcast
+    when they fit; a hint forces it at any V).  Only the <=V+2-row
+    contexts and unigrams tables may carry a hint."""
+    from sherlog_parser_spark.operators.lm import (
+        train_trigram_lm,
+        trigram_likelihood,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c a b c"), (1, "b c d"), (2, "")], "doc_id long, text string"
+    )
+    lm = train_trigram_lm(docs, vocab_size=4)
+    plan = (
+        trigram_likelihood(docs, lm)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    import re
+
+    assert len(re.findall(r"ResolvedHint", plan)) <= 2, plan
