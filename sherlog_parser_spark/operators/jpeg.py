@@ -408,9 +408,69 @@ def encode_jpeg(
 # --------------------------------------------------------------------
 
 
-def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
+def _blocks_to_plane_py(c: dict, blocks: list, qt: list[int]) -> None:
+    """Reference per-pixel dequant + IDCT + clamp into the component
+    plane — the pinned mirror of :func:`_blocks_to_plane_np`."""
+    for ox, oy, zz in blocks:
+        coef = [0.0] * 64
+        for i in range(64):
+            coef[ZIGZAG[i]] = zz[i] * qt[ZIGZAG[i]]
+        px = _idct(coef)
+        for y in range(8):
+            row = (oy + y) * c["w"] + ox
+            for x in range(8):
+                v = int(round(px[8 * y + x])) + 128
+                c["plane"][row + x] = 0 if v < 0 else (255 if v > 255 else v)
+
+
+def _blocks_to_plane_np(c: dict, blocks: list, qt: list[int]) -> None:
+    """Vectorized dequant + IDCT over ALL of a component's blocks at
+    once (r6, verdict perf item #2).  Bit-identical to the mirror: the
+    per-output accumulation runs in the same (v-major, u-minor) term
+    order and each term keeps the mirror's left-assoc multiply order —
+    C[u]*C[v] (precomputed scalar) × coef × COS[u][x] × COS[v][y] — so
+    every IEEE intermediate matches; np.rint is round-half-even exactly
+    like Python's round().  ~64 vector ops replace 64 Python mults per
+    PIXEL."""
+    import numpy as np
+
+    n = len(blocks)
+    zzm = np.array([zz for _, _, zz in blocks], dtype=np.int64)  # (n, 64)
+    qtz = np.array([qt[ZIGZAG[i]] for i in range(64)], dtype=np.int64)
+    coef = np.empty((n, 64), dtype=np.float64)
+    coef[:, [ZIGZAG[i] for i in range(64)]] = (zzm * qtz).astype(np.float64)
+    acc = np.zeros((n, 8, 8), dtype=np.float64)  # (block, y, x)
+    cos = np.array(_COS)  # cos[u][x]
+    for v in range(8):
+        for u in range(8):
+            cucv = _C[u] * _C[v]
+            term = (cucv * coef[:, 8 * v + u])[:, None, None]
+            term = term * cos[u][None, None, :]  # COS[u][x]: varies along x
+            term = term * cos[v][None, :, None]  # COS[v][y]: varies along y
+            acc += term
+    out = 0.25 * acc
+    vals = np.rint(out).astype(np.int64) + 128
+    np.clip(vals, 0, 255, out=vals)
+    plane = np.frombuffer(memoryview(c["plane"]), dtype=np.uint8).reshape(
+        c["hh"], c["w"]
+    )
+    # writable view over the bytearray
+    plane = np.asarray(plane)
+    vals8 = vals.astype(np.uint8)
+    for k, (ox, oy, _zz) in enumerate(blocks):
+        plane[oy : oy + 8, ox : ox + 8] = vals8[k]
+
+
+def decode_jpeg(payload: bytes, impl: str = "numpy") -> tuple[int, int, int, bytes]:
     """-> (width, height, channels, packed 8-bit samples: RGB triples
-    for 3-component images, single bytes for grayscale)."""
+    for 3-component images, single bytes for grayscale).
+
+    ``impl``: 'numpy' (default — batched dequant/IDCT + vectorized
+    color conversion, the r6 scale path) or 'py' (the original
+    per-pixel reference, kept as the byte-equality mirror; the Huffman
+    entropy decode is shared and inherently sequential)."""
+    if impl not in ("numpy", "py"):
+        raise ValueError(f"impl must be 'numpy' or 'py', got {impl!r}")
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -495,6 +555,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
         c["hh"] = mcuy * 8 * c["v"]
         c["plane"] = bytearray(c["w"] * c["hh"])
         c["pred"] = 0
+        c["blocks"] = []
 
     br = _BitReader(payload, scan_pos)
 
@@ -541,18 +602,14 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                                 raise ValueError("AC run overflows block")
                             zz[k] = _extend(br.bits(size), size)
                             k += 1
-                        qt = qtables[c["tq"]]
-                        coef = [0.0] * 64
-                        for i in range(64):
-                            coef[ZIGZAG[i]] = zz[i] * qt[ZIGZAG[i]]
-                        px = _idct(coef)
                         ox = (mx * c["h"] + bx) * 8
                         oy = (my * c["v"] + by) * 8
-                        for y in range(8):
-                            row = (oy + y) * c["w"] + ox
-                            for x in range(8):
-                                v = int(round(px[8 * y + x])) + 128
-                                c["plane"][row + x] = 0 if v < 0 else (255 if v > 255 else v)
+                        c["blocks"].append((ox, oy, zz))
+
+    for c in comps:
+        fn = _blocks_to_plane_py if impl == "py" else _blocks_to_plane_np
+        if c["blocks"]:
+            fn(c, c["blocks"], qtables[c["tq"]])
 
     if len(comps) == 1:
         c = comps[0]
@@ -561,18 +618,42 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             out[y * width : (y + 1) * width] = c["plane"][y * c["w"] : y * c["w"] + width]
         return width, height, 1, bytes(out)
 
-    out = bytearray(3 * width * height)
     cy, cb, cr = comps
-    for y in range(height):
-        for x in range(width):
-            Y = cy["plane"][(y * cy["v"] // vmax) * cy["w"] + (x * cy["h"] // hmax)]
-            B = cb["plane"][(y * cb["v"] // vmax) * cb["w"] + (x * cb["h"] // hmax)]
-            R = cr["plane"][(y * cr["v"] // vmax) * cr["w"] + (x * cr["h"] // hmax)]
-            r = Y + 1.402 * (R - 128)
-            g = Y - 0.344136 * (B - 128) - 0.714136 * (R - 128)
-            b = Y + 1.772 * (B - 128)
-            i = 3 * (y * width + x)
-            out[i] = 0 if r < 0 else (255 if r > 255 else int(round(r)))
-            out[i + 1] = 0 if g < 0 else (255 if g > 255 else int(round(g)))
-            out[i + 2] = 0 if b < 0 else (255 if b > 255 else int(round(b)))
-    return width, height, 3, bytes(out)
+    if impl == "py":
+        out = bytearray(3 * width * height)
+        for y in range(height):
+            for x in range(width):
+                Y = cy["plane"][(y * cy["v"] // vmax) * cy["w"] + (x * cy["h"] // hmax)]
+                B = cb["plane"][(y * cb["v"] // vmax) * cb["w"] + (x * cb["h"] // hmax)]
+                R = cr["plane"][(y * cr["v"] // vmax) * cr["w"] + (x * cr["h"] // hmax)]
+                r = Y + 1.402 * (R - 128)
+                g = Y - 0.344136 * (B - 128) - 0.714136 * (R - 128)
+                b = Y + 1.772 * (B - 128)
+                i = 3 * (y * width + x)
+                out[i] = 0 if r < 0 else (255 if r > 255 else int(round(r)))
+                out[i + 1] = 0 if g < 0 else (255 if g > 255 else int(round(g)))
+                out[i + 2] = 0 if b < 0 else (255 if b > 255 else int(round(b)))
+        return width, height, 3, bytes(out)
+    # vectorized upsample + YCbCr->RGB: same IEEE expression per element
+    # (ints promote to float64 exactly; clamp-before-round branch order
+    # preserved; np.rint == Python round on floats)
+    import numpy as np
+
+    def sampled(c):
+        pl = np.frombuffer(bytes(c["plane"]), dtype=np.uint8).reshape(c["hh"], c["w"])
+        ys = (np.arange(height) * c["v"]) // vmax
+        xs = (np.arange(width) * c["h"]) // hmax
+        return pl[np.ix_(ys, xs)].astype(np.float64)
+
+    Y, B, R = sampled(cy), sampled(cb), sampled(cr)
+    r = Y + 1.402 * (R - 128)
+    g = Y - 0.344136 * (B - 128) - 0.714136 * (R - 128)
+    b = Y + 1.772 * (B - 128)
+
+    def clamp8(a):
+        return np.where(
+            a < 0, 0, np.where(a > 255, 255, np.rint(a).astype(np.int64))
+        ).astype(np.uint8)
+
+    rgb = np.stack([clamp8(r), clamp8(g), clamp8(b)], axis=-1)
+    return width, height, 3, rgb.tobytes()

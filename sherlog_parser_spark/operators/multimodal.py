@@ -221,7 +221,24 @@ FEATURE_BINS = 16
 
 
 def _luma_histogram(pixels: bytes, n_px: int) -> list[float]:
-    """16-bin normalized luminance histogram over packed RGB triples."""
+    """16-bin normalized luminance histogram over packed RGB triples.
+    r6: vectorized (integer luma + bincount); the arithmetic is all
+    exact integers, and the final normalization divides the same ints —
+    value-identical to the per-pixel mirror (pinned by tests)."""
+    import numpy as np
+
+    if n_px == 0:
+        return [0.0] * FEATURE_BINS
+    a = np.frombuffer(pixels[: 3 * n_px], dtype=np.uint8).reshape(n_px, 3).astype(np.int64)
+    luma = (299 * a[:, 0] + 587 * a[:, 1] + 114 * a[:, 2]) // 1000
+    bins = np.minimum(luma * FEATURE_BINS // 256, FEATURE_BINS - 1)
+    hist = np.bincount(bins, minlength=FEATURE_BINS)
+    return [int(h) / n_px for h in hist]
+
+
+def _luma_histogram_py(pixels: bytes, n_px: int) -> list[float]:
+    """Per-pixel mirror of :func:`_luma_histogram` (value-equality test
+    anchor)."""
     hist = [0] * FEATURE_BINS
     for i in range(n_px):
         r, g, b = pixels[3 * i], pixels[3 * i + 1], pixels[3 * i + 2]
@@ -326,6 +343,59 @@ def _png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     stride = width * ch
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG scanline data has wrong length")
+    return (width, height, ch, _png_unfilter(raw, height, stride, ch))
+
+
+def _png_unfilter(raw: bytes, height: int, stride: int, ch: int) -> bytes:
+    """Scanline unfilter.  r6: the None/Sub/Up rows run as numpy vector
+    ops (Sub is a per-channel-lane uint8 cumsum — wraparound IS mod-256
+    addition); Average/Paeth rows keep the byte loop (their prediction
+    depends on the just-reconstructed left neighbor — a sequential
+    recurrence).  Byte-identical to the all-Python mirror
+    (:func:`_png_unfilter_py`, pinned by tests)."""
+    import numpy as np
+
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        f = int(rows[y, 0])
+        line = rows[y, 1:].copy()
+        if f == 0:
+            pass
+        elif f == 1:  # Sub: per-channel prefix sum mod 256
+            line = np.cumsum(
+                line.reshape(stride // ch, ch), axis=0, dtype=np.uint8
+            ).reshape(stride)
+        elif f == 2:  # Up
+            line = line + prev  # uint8 wraps = & 0xFF
+        elif f in (3, 4):  # Average / Paeth: sequential recurrence
+            lb = bytearray(line.tobytes())
+            pb_ = prev.tobytes()
+            if f == 3:
+                for i in range(stride):
+                    a = lb[i - ch] if i >= ch else 0
+                    lb[i] = (lb[i] + ((a + pb_[i]) >> 1)) & 0xFF
+            else:
+                for i in range(stride):
+                    a = lb[i - ch] if i >= ch else 0
+                    b = pb_[i]
+                    c = pb_[i - ch] if i >= ch else 0
+                    p = a + b - c
+                    pa, pb2, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb2 and pa <= pc) else (b if pb2 <= pc else c)
+                    lb[i] = (lb[i] + pred) & 0xFF
+            line = np.frombuffer(bytes(lb), dtype=np.uint8)
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out[y] = line
+        prev = line
+    return out.tobytes()
+
+
+def _png_unfilter_py(raw: bytes, height: int, stride: int, ch: int) -> bytes:
+    """The original all-Python unfilter, kept as the byte-equality
+    mirror for :func:`_png_unfilter`."""
     out = bytearray()
     prev = bytearray(stride)
     pos = 0
@@ -356,7 +426,21 @@ def _png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"bad PNG filter byte {f}")
         out += line
         prev = line
-    return width, height, ch, bytes(out)
+    return bytes(out)
+
+
+def _expand_to_rgb(px: bytes, ch: int, n_px: int) -> bytes:
+    """Packed RGB triples from a ch-channel sample buffer (gray /
+    gray+alpha replicate the luma byte; RGBA drops alpha) — vectorized,
+    byte-identical to the per-pixel slicing it replaces."""
+    import numpy as np
+
+    a = np.frombuffer(px[: ch * n_px], dtype=np.uint8).reshape(n_px, ch)
+    if ch == 3:
+        return bytes(px[: 3 * n_px])
+    if ch in (1, 2):
+        return np.repeat(a[:, :1], 3, axis=1).tobytes()
+    return a[:, :3].copy().tobytes()
 
 
 def decode_png(payload: bytes) -> dict:
@@ -364,22 +448,11 @@ def decode_png(payload: bytes) -> dict:
     unfilter (None/Sub/Up/Average/Paeth), then the shared luminance
     histogram.  8-bit gray / gray+alpha / RGB / RGBA, non-interlaced."""
     width, height, ch, px = _png_pixels(payload)
-    rgb = bytearray()
-    for i in range(width * height):
-        if ch == 1:
-            v = px[i]
-            rgb += bytes((v, v, v))
-        elif ch == 2:
-            v = px[2 * i]
-            rgb += bytes((v, v, v))
-        elif ch == 3:
-            rgb += px[3 * i : 3 * i + 3]
-        else:
-            rgb += px[4 * i : 4 * i + 3]
+    rgb = _expand_to_rgb(px, ch, width * height)
     return {
         "width": width,
         "height": height,
-        "feature": _luma_histogram(bytes(rgb), width * height),
+        "feature": _luma_histogram(rgb, width * height),
     }
 
 
@@ -392,10 +465,7 @@ def decode_jpeg_media(payload: bytes) -> dict:
 
     width, height, ch, px = decode_jpeg(payload)
     if ch == 1:
-        rgb = bytearray()
-        for v in px:
-            rgb += bytes((v, v, v))
-        px = bytes(rgb)
+        px = _expand_to_rgb(px, 1, width * height)
     return {
         "width": width,
         "height": height,
@@ -434,39 +504,28 @@ def decode_pixels(payload: bytes) -> tuple[int, int, bytes]:
             raise NotImplementedError("only 24bpp uncompressed BMP supported")
         row_stride = (width * 3 + 3) & ~3
         h = abs(height)
-        px = bytearray()
-        rows = range(h - 1, -1, -1) if height > 0 else range(h)  # bottom-up -> top-down
-        for row in rows:
-            src = data_off + row * row_stride
-            line = payload[src : src + width * 3]
-            for c in range(width):
-                px += bytes((line[3 * c + 2], line[3 * c + 1], line[3 * c]))
-        return width, h, bytes(px)
+        import numpy as np
+
+        # the final row's padding bytes may be absent — pad to a full
+        # h x row_stride grid (padding is never read back)
+        need = h * row_stride
+        body = payload[data_off : data_off + need]
+        if len(body) < need:
+            body = body + b"\x00" * (need - len(body))
+        buf = np.frombuffer(body, dtype=np.uint8).reshape(h, row_stride)[
+            :, : width * 3
+        ].reshape(h, width, 3)
+        if height > 0:
+            buf = buf[::-1]  # bottom-up -> top-down
+        return width, h, buf[:, :, ::-1].copy().tobytes()  # BGR -> RGB
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         width, height, ch, raw = _png_pixels(payload)
-        if ch == 3:
-            return width, height, raw
-        px = bytearray()
-        for i in range(width * height):
-            if ch == 1:
-                v = raw[i]
-                px += bytes((v, v, v))
-            elif ch == 2:
-                v = raw[2 * i]
-                px += bytes((v, v, v))
-            else:
-                px += raw[4 * i : 4 * i + 3]
-        return width, height, bytes(px)
+        return width, height, _expand_to_rgb(raw, ch, width * height)
     if payload[:2] == b"\xff\xd8":
         from sherlog_parser_spark.operators.jpeg import decode_jpeg
 
         width, height, ch, raw = decode_jpeg(payload)
-        if ch == 3:
-            return width, height, raw
-        px = bytearray()
-        for v in raw:
-            px += bytes((v, v, v))
-        return width, height, bytes(px)
+        return width, height, _expand_to_rgb(raw, ch, width * height)
     raise ValueError(f"not a supported image container (magic={payload[:4]!r})")
 
 
@@ -478,6 +537,43 @@ def resize_pixels(
     half-pixel-offset convention).  Shared by the distributed transform
     and its tests' driver-side mirror — one implementation, no forked
     semantics."""
+    if method not in ("nearest", "bilinear"):
+        raise ValueError("method must be 'nearest' or 'bilinear'")
+    # r6 (verdict perf item #2): vectorized sampling grid + gathers —
+    # tens of numpy ops per IMAGE instead of ~20 Python ops per PIXEL.
+    # Exactness vs the per-pixel mirror (resize_pixels_py, pinned by
+    # tests): the grid math runs per-coordinate-vector with the same
+    # IEEE expressions; np.rint is round-half-even exactly like
+    # Python's round(); the bilinear blend keeps the mirror's operand
+    # order (v00 + (v01-v00)*ax etc.) elementwise in float64.
+    import numpy as np
+
+    a = np.frombuffer(px[: 3 * w * h], dtype=np.uint8).reshape(h, w, 3)
+    fx = (np.arange(out_w, dtype=np.float64) + 0.5) * (w / out_w) - 0.5
+    fy = (np.arange(out_h, dtype=np.float64) + 0.5) * (h / out_h) - 0.5
+    if method == "nearest":
+        sx = np.clip(np.rint(fx).astype(np.int64), 0, w - 1)
+        sy = np.clip(np.rint(fy).astype(np.int64), 0, h - 1)
+        return a[np.ix_(sy, sx)].tobytes()
+    x0 = np.clip(np.floor(fx).astype(np.int64), 0, w - 1)
+    y0 = np.clip(np.floor(fy).astype(np.int64), 0, h - 1)
+    x1 = np.minimum(w - 1, x0 + 1)
+    y1 = np.minimum(h - 1, y0 + 1)
+    ax = np.clip(fx - x0, 0.0, 1.0)[None, :, None]
+    ay = np.clip(fy - y0, 0.0, 1.0)[:, None, None]
+    v00 = a[np.ix_(y0, x0)].astype(np.float64)
+    v01 = a[np.ix_(y0, x1)].astype(np.float64)
+    v10 = a[np.ix_(y1, x0)].astype(np.float64)
+    v11 = a[np.ix_(y1, x1)].astype(np.float64)
+    top = v00 + (v01 - v00) * ax
+    bot = v10 + (v11 - v10) * ax
+    return np.rint(top + (bot - top) * ay).astype(np.uint8).tobytes()
+
+
+def resize_pixels_py(
+    px: bytes, w: int, h: int, out_w: int, out_h: int, method: str = "bilinear"
+) -> bytes:
+    """Per-pixel mirror of :func:`resize_pixels` (byte-equality anchor)."""
     if method not in ("nearest", "bilinear"):
         raise ValueError("method must be 'nearest' or 'bilinear'")
     out = bytearray(3 * out_w * out_h)

@@ -456,3 +456,56 @@ def test_resize_identity_is_exact_for_lossless_containers(spark):
     for payload in (make_ppm(3, 8, 6), make_bmp(3, 5, 4), make_png(3, 7, 6)):
         w, h, px = decode_pixels(payload)
         assert resize_pixels(px, w, h, w, h, "nearest") == px
+
+
+# ---------------------------------------------------------------------------
+# r6: numpy-vectorized image kernels must stay byte-identical to their
+# per-pixel Python mirrors (verdict perf item #2)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_numpy_decode_matches_py_mirror():
+    from sherlog_parser_spark.operators.jpeg import decode_jpeg
+    from sherlog_parser_spark.operators.multimodal import make_jpeg
+
+    for seed in (0, 3, 9):
+        for wh in ((16, 16), (24, 40), (48, 32)):
+            p = make_jpeg(seed, *wh)
+            assert decode_jpeg(p, impl="py") == decode_jpeg(p, impl="numpy")
+
+
+def test_png_unfilter_numpy_matches_py_mirror():
+    import struct
+    import zlib
+
+    from sherlog_parser_spark.operators import multimodal as M
+
+    for seed in (0, 5):
+        for ct in (0, 2, 4, 6):  # gray / RGB / gray+alpha / RGBA
+            w, h = 19, 11  # cycles all five filter types
+            payload = M.make_png(seed, w, h, color_type=ct)
+            got_w, got_h, ch, px = M._png_pixels(payload)
+            pos, idat = 8, []
+            while pos + 8 <= len(payload):
+                ln = int.from_bytes(payload[pos : pos + 4], "big")
+                typ = payload[pos + 4 : pos + 8]
+                if typ == b"IDAT":
+                    idat.append(payload[pos + 8 : pos + 8 + ln])
+                pos += 12 + ln
+            raw = zlib.decompress(b"".join(idat))
+            assert px == M._png_unfilter_py(raw, h, w * ch, ch)
+
+
+def test_resize_and_histogram_numpy_match_py_mirrors():
+    import random
+
+    from sherlog_parser_spark.operators import multimodal as M
+
+    rnd = random.Random(13)
+    for (w, h, ow, oh) in ((5, 4, 9, 7), (16, 16, 8, 8), (33, 21, 50, 64)):
+        px = bytes(rnd.randrange(256) for _ in range(3 * w * h))
+        for m in ("nearest", "bilinear"):
+            assert M.resize_pixels(px, w, h, ow, oh, m) == M.resize_pixels_py(
+                px, w, h, ow, oh, m
+            )
+        assert M._luma_histogram(px, w * h) == M._luma_histogram_py(px, w * h)
