@@ -1,16 +1,22 @@
 """End-to-end parse → enrich → route → aggregate pipeline.
 
-One logical DAG (SURVEY §4.3 target plan):
+One logical DAG (SURVEY §4.3 target plan; route shape reworked in r6 —
+guide §8 "decide with small rows, move big rows once"):
 
     scan transcripts
       → parse_stage          (narrow: masked + sig columns, codegen)
       → dictionary build     (1 hash-agg shuffle collapsing to ≤10^4 rows
                               + driver merge + broadcast back)
-      → enrich_stage         (2 broadcast hash joins, map-side)
-      → route_stage          (fan-out partitioned write, salted,
-                              checkpointed in conv-bucket groups)
-      → aggregates           (template frequency / windowed tool usage
-                              over the routed sink)
+      → slim pre-shuffle     (broadcast join: + template_id only;
+                              conv_bucket; raw row otherwise untouched)
+      → route exchange       (salted repartition carrying ONLY the raw
+                              row + template_id + conv_bucket)
+      → post-exchange attach (broadcast template table with per-template
+                              precomputed event_type + param metadata;
+                              parameters derived by positional indexing)
+      → partitioned write    (checkpointed in conv-bucket groups)
+      → aggregates           (template_id-keyed rollup, template string
+                              attached at rollup cardinality)
 
 Checkpointing: the routed write commits in ``commit_groups`` disjoint
 conv-bucket groups with dynamic partition overwrite, so every group is
