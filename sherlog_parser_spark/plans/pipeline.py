@@ -39,6 +39,7 @@ import json
 import logging
 import os
 import re
+import threading
 import time
 from dataclasses import dataclass
 
@@ -251,38 +252,56 @@ def run_pipeline(
             agg_error.append(e)
 
     if write_aggregates and aggregate_source == "enriched":
-        import threading
-
         agg_thread = threading.Thread(target=_write_aggregates, name="aggregates")
         agg_thread.start()
 
-    total_rows = 0
     salt = salt_expr(tdict.hot_template_ids(), salt_buckets)
-    try:
-        for g in range(commit_groups):
-            unit = f"bucket_group={g}"
-            if manifest.is_committed(unit):
-                total_rows += manifest.entries[unit]["rows"]
-                continue
-            t0 = time.time()
-            obs = Observation(f"route_g{g}")
-            sub = pre.filter(F.pmod(F.col("conv_bucket"), F.lit(commit_groups)) == g).observe(
-                obs, F.count(F.lit(1)).alias("rows"), F.bit_xor(F.xxhash64("conv_id", "turn_idx")).alias("fp")
+    manifest_lock = threading.Lock()
+
+    def _write_group(g: int) -> int:
+        unit = f"bucket_group={g}"
+        if manifest.is_committed(unit):
+            return int(manifest.entries[unit]["rows"])
+        t0 = time.time()
+        obs = Observation(f"route_g{g}")
+        sub = pre.filter(F.pmod(F.col("conv_bucket"), F.lit(commit_groups)) == g).observe(
+            obs, F.count(F.lit(1)).alias("rows"), F.bit_xor(F.xxhash64("conv_id", "turn_idx")).alias("fp")
+        )
+        (
+            _attach_derived(
+                sub.repartition(F.col("template_id"), F.col("tool"), F.col("conv_bucket"), salt)
             )
-            (
-                _attach_derived(
-                    sub.repartition(F.col("template_id"), F.col("tool"), F.col("conv_bucket"), salt)
-                )
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .option("parquet.enable.dictionary", "false")
-                .partitionBy("template_id", "tool", "conv_bucket")
-                .parquet(routed_dir)
-            )
-            rows = int(obs.get["rows"])
-            fp = str(obs.get["fp"])
-            total_rows += rows
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .option("parquet.enable.dictionary", "false")
+            .partitionBy("template_id", "tool", "conv_bucket")
+            .parquet(routed_dir)
+        )
+        rows = int(obs.get["rows"])
+        fp = str(obs.get["fp"])
+        with manifest_lock:
             manifest.commit(unit, rows, fp, routed_dir, time.time() - t0)
+        return rows
+
+    try:
+        # r6 (guide §2.6): group writes overlap from a small thread pool
+        # — one group's driver-side file commit / manifest append leaves
+        # executors idle, and under FIFO the next group's tasks back-fill
+        # exactly those gaps.  Safe to run concurrently: the groups
+        # write DISJOINT conv_bucket partition values, dynamic partition
+        # overwrite stages each job under its own .spark-staging-<uuid>
+        # dir (no shared _temporary), each group keeps its own
+        # Observation + manifest entry committed on ITS OWN completion
+        # (a crash mid-run still resumes by skipping finished groups),
+        # and manifest appends are serialized by a lock.  2 jobs in
+        # flight is enough to fill the tail (same sizing rationale as
+        # the aggregates thread).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=min(2, max(1, commit_groups)), thread_name_prefix="route-group"
+        ) as pool:
+            total_rows = sum(pool.map(_write_group, range(commit_groups)))
     finally:
         # a failing group write must still wait for the aggregates
         # thread — otherwise the caller's spark.stop() kills its
