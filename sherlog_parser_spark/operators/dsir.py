@@ -182,15 +182,45 @@ def train_dsir_shared(
     q tables, defaults and totals are derived from identical integers —
     while replacing two more corpus-wide explode passes with rollups of
     the (usually persisted) per-doc table."""
-    tid = target_ids.select(F.col(target_ids.columns[0]).alias("__id"))
+    tid = target_ids.select(
+        F.col(target_ids.columns[0]).alias("__id"), F.lit(1).alias("_t")
+    )
+    flagged = per_doc.join(tid, "__id", "left")
+    # ONE aggregation job yields both corpus totals (r6: was two
+    # collect jobs, each re-scanning the per-doc table)
+    tot = flagged.agg(
+        F.sum("f").alias("raw_n"),
+        F.sum(F.when(F.col("_t") == 1, F.col("f")).otherwise(F.lit(0))).alias(
+            "target_n"
+        ),
+    ).collect()[0]
+    raw_total = int(tot["raw_n"] or 0)
+    target_total = int(tot["target_n"] or 0)
+
+    def q_table(cnt, total):
+        return cnt.select(
+            "bucket",
+            F.floor(
+                F.lit(float(quantum)) * (F.col("c") + F.lit(1))
+                / F.lit(total + int(n_buckets))
+            )
+            .cast("long")
+            .alias("q"),
+        )
+
     raw_cnt = per_doc.groupBy("bucket").agg(F.sum("f").alias("c"))
     target_cnt = (
-        per_doc.join(tid, "__id", "left_semi")
-        .groupBy("bucket")
-        .agg(F.sum("f").alias("c"))
+        flagged.filter(F.col("_t") == 1).groupBy("bucket").agg(F.sum("f").alias("c"))
     )
-    return _model_from_counts(
-        {"target": target_cnt, "raw": raw_cnt}, n_buckets, quantum
+    return DSIRModel(
+        target_q=q_table(target_cnt, target_total),
+        raw_q=q_table(raw_cnt, raw_total),
+        target_q0=int(math.floor(quantum * 1 / (target_total + int(n_buckets)))),
+        raw_q0=int(math.floor(quantum * 1 / (raw_total + int(n_buckets)))),
+        n_buckets=int(n_buckets),
+        quantum=float(quantum),
+        target_total=target_total,
+        raw_total=raw_total,
     )
 
 
@@ -217,11 +247,17 @@ def dsir_scores_from_per_doc(
     """:func:`dsir_scores` from a precomputed (``__id``, bucket, f)
     table and a distinct (``__id``) frame — lets the shared train+score
     shape reuse ONE explode pass."""
-    tq = F.broadcast(model.target_q.withColumnRenamed("q", "_qt"))
-    rq = F.broadcast(model.raw_q.withColumnRenamed("q", "_qr"))
+    # ONE combined broadcast model table (r6: two separate broadcast
+    # builds were two jobs); the full-outer join of the two ≤n_buckets
+    # tables reproduces the exact null pattern of two left joins, so
+    # every coalesce default fires identically
+    both = F.broadcast(
+        model.target_q.withColumnRenamed("q", "_qt").join(
+            model.raw_q.withColumnRenamed("q", "_qr"), "bucket", "full_outer"
+        )
+    )
     scored = (
-        per_doc.join(tq, "bucket", "left")
-        .join(rq, "bucket", "left")
+        per_doc.join(both, "bucket", "left")
         .groupBy("__id")
         .agg(
             F.sum("f").alias("n_grams"),
