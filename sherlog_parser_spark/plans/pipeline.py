@@ -112,6 +112,7 @@ def run_pipeline(
     write_aggregates: bool = True,
     aggregate_source: str = "enriched",
     persist_parsed: bool = True,
+    cache_compressed: bool = False,
 ) -> PipelineResult:
     import shutil
 
@@ -159,6 +160,7 @@ def run_pipeline(
         manifest.commit_run(run_fp)
 
     parsed = parse_stage(transcripts, use_arrow_udf=use_arrow_udf)
+    prev_cache_codec = None
     if persist_parsed:
         # the dictionary build, the routed write, and the aggregates each
         # need the masked/sig columns; persisting the parse stage turns
@@ -167,6 +169,20 @@ def run_pipeline(
         # deployments)
         from pyspark import StorageLevel
 
+        # cache_compressed=False (default, r6): this cache lives for ONE
+        # run and is re-read ~3x — columnar compression of the text-heavy
+        # batches cost ~25% of the build phase (A/B at 1 core: 79-89s ->
+        # 59-66s) for no read-side gain at this reuse count.  Deployments
+        # where executor cache memory is the binding constraint pass
+        # cache_compressed=True.  The session conf is restored after the
+        # run.
+        prev_cache_codec = spark.conf.get(
+            "spark.sql.inMemoryColumnarStorage.compressed", "true"
+        )
+        spark.conf.set(
+            "spark.sql.inMemoryColumnarStorage.compressed",
+            "true" if cache_compressed else "false",
+        )
         parsed = parsed.persist(StorageLevel.MEMORY_AND_DISK)
     if manifest.entries and os.path.exists(dict_path):
         # resuming a validated run: reuse the persisted dictionary so
@@ -273,7 +289,17 @@ def run_pipeline(
             )
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .option("parquet.enable.dictionary", "false")
+            # selective dictionary encoding (r6 A/B at 1 core, one
+            # group: dict-off 40.6s/187MB, dict-on 47.9s/160MB,
+            # SELECTIVE 38.9s/163MB): dictionary ON for the
+            # low-cardinality columns (template, event_type, role,
+            # parameter keys), OFF for the high-cardinality payloads
+            # whose hashing only burned CPU (the r2 finding, now
+            # per-column instead of global)
+            .option("parquet.enable.dictionary", "true")
+            .option("parquet.enable.dictionary#text", "false")
+            .option("parquet.enable.dictionary#conv_id", "false")
+            .option("parquet.enable.dictionary#parameters.key_value.value", "false")
             .partitionBy("template_id", "tool", "conv_bucket")
             .parquet(routed_dir)
         )
@@ -325,6 +351,10 @@ def run_pipeline(
             raise agg_error[0]
     if persist_parsed:
         parsed.unpersist()
+        if prev_cache_codec is not None:
+            spark.conf.set(
+                "spark.sql.inMemoryColumnarStorage.compressed", prev_cache_codec
+            )
 
     wall = time.time() - t_start
     with open(os.path.join(out_dir, "run_metrics.json"), "w") as f:
