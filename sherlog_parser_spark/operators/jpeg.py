@@ -169,44 +169,93 @@ class _BitWriter:
 
 
 class _BitReader:
-    def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.n = 0
+    """Entropy-segment bit reader (r6 rewrite for speed, semantics
+    preserved exactly):
 
-    def bit(self) -> int:
-        if self.n == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("truncated JPEG entropy stream")
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
-                if nxt == 0x00:
-                    self.pos += 1  # stuffed byte
-                else:
-                    # a real marker inside the scan (e.g. truncated EOI):
-                    # per baseline decoding, feed zero bits
-                    self.pos -= 1
-                    return 0
-            self.acc, self.n = b, 8
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+    The scan is pre-split ONCE into unstuffed byte segments bounded by
+    real markers (0xFF00 stuffing removed; RSTn markers become segment
+    boundaries; any other marker terminates the scan).  The hot path
+    then reads bits from a plain int accumulator refilled bytewise —
+    no per-bit stuffing checks or method calls.  Original semantics
+    kept: reads past a marker-terminated segment feed ZERO bits
+    without consuming; reads past an unterminated stream raise
+    (truncated file); ``align`` drops only the current partial byte;
+    ``skip_marker`` requires the segment to be exactly exhausted and
+    the boundary marker to match, else raises."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        segs: list[tuple[bytes, int | None]] = []
+        cur = bytearray()
+        i, n = pos, len(data)
+        while i < n:
+            b = data[i]
+            if b != 0xFF:
+                cur.append(b)
+                i += 1
+                continue
+            nxt = data[i + 1] if i + 1 < n else None
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            segs.append((bytes(cur), nxt if nxt is not None else None))
+            cur = bytearray()
+            if nxt is not None and 0xD0 <= nxt <= 0xD7:
+                i += 2
+                continue
+            break
+        else:
+            segs.append((bytes(cur), None))  # ran off the end, no marker
+        if not segs:
+            segs = [(b"", None)]
+        self.segs = segs
+        self.si = 0
+        self.chunk, self.term = segs[0]
+        self.i = 0  # next byte index within chunk
+        self.acc = 0
+        self.nb = 0  # buffered bit count
+
+    def _refill(self, need: int) -> None:
+        while self.nb < need and self.i < len(self.chunk):
+            self.acc = ((self.acc << 8) | self.chunk[self.i]) & 0xFFFFFFFFFFFF
+            self.i += 1
+            self.nb += 8
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
+        if k == 0:
+            return 0
+        self._refill(k)
+        if self.nb >= k:
+            self.nb -= k
+            return (self.acc >> self.nb) & ((1 << k) - 1)
+        # segment exhausted mid-read
+        if self.term is None:
+            raise ValueError("truncated JPEG entropy stream")
+        # marker boundary: remaining real bits then zero-fed low bits
+        v = (self.acc & ((1 << self.nb) - 1)) << (k - self.nb)
+        self.acc = 0
+        self.nb = 0
         return v
 
+    def bit(self) -> int:
+        return self.bits(1)
+
     def align(self) -> None:
-        self.n = 0
+        self.nb -= self.nb % 8
 
     def skip_marker(self, marker_lo: int) -> None:
-        """Consume an expected RSTn marker at the current byte position."""
-        if self.data[self.pos] == 0xFF and self.data[self.pos + 1] == marker_lo:
-            self.pos += 2
+        """Consume the expected RSTn boundary of the current segment."""
+        if (
+            self.term == marker_lo
+            and self.i >= len(self.chunk)
+            and self.nb == 0
+            and self.si + 1 < len(self.segs)
+        ):
+            self.si += 1
+            self.chunk, self.term = self.segs[self.si]
+            self.i = 0
+            self.acc = 0
+            self.nb = 0
         else:
             raise ValueError("expected restart marker")
 
@@ -559,7 +608,31 @@ def decode_jpeg(payload: bytes, impl: str = "numpy") -> tuple[int, int, int, byt
 
     br = _BitReader(payload, scan_pos)
 
+    # 8-bit first-level Huffman LUT per table (r6): most symbols have
+    # codes <= 8 bits, so one peek + one list index replaces up to 8
+    # bit-walk iterations; longer codes fall back to the exact original
+    # walk.  Built lazily per decode (tables are per-image).
+    lut_cache: dict[int, list] = {}
+
+    def _lut8(table) -> list:
+        lut = lut_cache.get(id(table))
+        if lut is None:
+            lut = [None] * 256
+            for (length, code), sym in table.items():
+                if length <= 8:
+                    base = code << (8 - length)
+                    for suffix in range(1 << (8 - length)):
+                        lut[base | suffix] = (sym, length)
+            lut_cache[id(table)] = lut
+        return lut
+
     def huff_decode(table) -> int:
+        br._refill(8)
+        if br.nb >= 8:
+            hit = _lut8(table)[(br.acc >> (br.nb - 8)) & 0xFF]
+            if hit is not None:
+                br.nb -= hit[1]
+                return hit[0]
         code, length = 0, 0
         while length < 16:
             code = (code << 1) | br.bit()
