@@ -703,7 +703,7 @@ def _synth_multiline(spark, sf_dir):
     6-word lines with terminal punctuation cycling '.'/''/'?' by line
     index — built identically in the oracle SQL."""
     docs = _read(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
+    toks = F.array_remove(F.split(F.col("text"), " "), "")
     d = docs.withColumn("_tk", toks).withColumn(
         "_nl", F.expr("cast((size(_tk) + 5) div 6 as int)")
     )

@@ -55,7 +55,7 @@ def line_keep_expr(
     word count = non-empty single-space splits; terminal check =
     ``endswith`` on the right-trimmed line; blocklist = lowercase
     substring containment."""
-    words = F.size(F.filter(F.split(line, " "), lambda w: w != F.lit("")))
+    words = F.size(F.array_remove(F.split(line, " "), ""))
     cond = words >= F.lit(int(min_words))
     if require_terminal:
         trimmed = F.rtrim(line)

@@ -87,11 +87,18 @@ _COMPILED_RULES = [(re.compile(p), mask) for p, mask in MASK_RULES]
 
 def tokens_expr(text: Column | str) -> Column:
     """Whitespace tokenization with C++ ``ss >> tok`` semantics: split on
-    runs of whitespace, no empty tokens for leading/trailing space."""
+    runs of whitespace, no empty tokens for leading/trailing space.
+
+    Empties (the [""] from empty text, plus the leading/trailing ""
+    when the trimmed string starts/ends with non-space whitespace —
+    F.trim strips 0x20 only) are dropped with ``array_remove`` rather
+    than ``F.filter``: a lambda HOF runs interpreted per ELEMENT, while
+    ArrayRemove is a single codegen'd pass — measured ~20% off the
+    route-attach stage at 9.8M rows (r6).  array_remove(arr, '')
+    removes exactly the elements ``= ''`` (split yields no nulls), so
+    the two forms are value-identical on every input."""
     c = F.col(text) if isinstance(text, str) else text
-    toks = F.split(F.trim(c), r"\s+")
-    # trim("") -> split gives [""]; drop empties so empty text -> empty array
-    return F.filter(toks, lambda t: t != F.lit(""))
+    return F.array_remove(F.split(F.trim(c), r"\s+"), "")
 
 
 def _mask_token_case(t: Column) -> Column:
@@ -130,7 +137,23 @@ def mask_template_expr(
     (tests/test_masking.py).
     """
     c = F.col(text) if isinstance(text, str) else text
-    norm = F.regexp_replace(F.trim(c), r"\s+", " ")
+    # Normalization skip-guard (r6): when the trimmed text has no
+    # non-space whitespace and no double space, every whitespace run is
+    # already a single 0x20 and the \s+ -> ' ' rewrite is the identity —
+    # six codegen'd indexOf scans replace a full regex rewrite+alloc for
+    # clean rows (measured ~12% off the whole mask pass at 9.8M rows;
+    # corpus diff = 0 by construction, pinned by the expr==py fuzz
+    # suite).  Java \s is exactly [ \t\n\x0b\f\r] (no UNICODE flag).
+    tr = F.trim(c)
+    clean = ~(
+        tr.contains("  ")
+        | tr.contains("\t")
+        | tr.contains("\n")
+        | tr.contains("\r")
+        | tr.contains("\x0b")
+        | tr.contains("\x0c")
+    )
+    norm = F.when(clean, tr).otherwise(F.regexp_replace(tr, r"\s+", " "))
     out = F.concat(F.lit(" "), norm, F.lit(" "))
 
     # Pass-skipping guards (r3, scaling item): every rule — default and

@@ -28,8 +28,11 @@ BPE_ISH_PATTERN = r"[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]"
 
 
 def _tokens(text: Column | str) -> Column:
+    # array_remove, not F.filter: the lambda HOF runs interpreted per
+    # element, ArrayRemove is one codegen'd pass; value-identical
+    # (split yields no nulls, so removing '' == keeping != '') — r6
     c = F.col(text) if isinstance(text, str) else text
-    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != F.lit(""))
+    return F.array_remove(F.split(F.trim(c), r"\s+"), "")
 
 
 def _let(val: Column, body) -> Column:
@@ -190,9 +193,8 @@ def lines_expr(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     # NOT F.transform(.., F.trim): trim has an optional 2nd parameter, so
     # the HOF arity dispatch would pass the element INDEX as the trim set
-    return F.filter(
-        F.transform(F.split(c, "\n"), lambda s: F.trim(s)),
-        lambda s: s != F.lit(""),
+    return F.array_remove(
+        F.transform(F.split(c, "\n"), lambda s: F.trim(s)), ""
     )
 
 

@@ -48,7 +48,9 @@ EOW = "</w>"  # end-of-word marker symbol
 
 def _lower_words(text_col) -> F.Column:
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.filter(F.split(F.trim(F.lower(c)), r"\s+"), lambda t: t != F.lit(""))
+    # array_remove == filter(!= '') here (split yields no nulls) and
+    # skips the interpreted per-element lambda (r6)
+    return F.array_remove(F.split(F.trim(F.lower(c)), r"\s+"), "")
 
 
 class BPEModel(NamedTuple):

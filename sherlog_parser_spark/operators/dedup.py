@@ -380,7 +380,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     DuckDB can replay it exactly.
     """
     toks = F.array_distinct(
-        F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+        F.array_remove(F.split(F.trim(F.col(text_col)), r"\s+"), "")
     )
     # r6 restructure: explode -> 60 codegen'd SUM aggregates instead of
     # 60 interpreted array folds.  The fold form evaluated the

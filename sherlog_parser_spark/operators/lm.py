@@ -55,7 +55,9 @@ def _lower_tokens(text_col) -> F.Column:
     """Lowercase whitespace tokens — same token definition as
     functions.textstats (dd_tokens(..., lower=True) in the oracle)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.filter(F.split(F.trim(F.lower(c)), r"\s+"), lambda t: t != F.lit(""))
+    # array_remove == filter(!= '') here (split yields no nulls) and
+    # skips the interpreted per-element lambda (r6)
+    return F.array_remove(F.split(F.trim(F.lower(c)), r"\s+"), "")
 
 
 class BigramLM(NamedTuple):
