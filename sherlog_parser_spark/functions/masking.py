@@ -101,6 +101,35 @@ def tokens_expr(text: Column | str) -> Column:
     return F.array_remove(F.split(F.trim(c), r"\s+"), "")
 
 
+def tokens_fast_expr(text: Column | str) -> Column:
+    """:func:`tokens_expr` with a clean-row fast path for corpus-sized
+    callers (the pipeline's per-row parameter extraction): when the
+    trimmed text has no double space and no non-space whitespace, the
+    tokens are exactly ``split(tr, ' ')`` — a literal-char regex the
+    engine matches far cheaper than the ``\\s+`` class+quantifier, with
+    no empties possible (measured ~11% off the route-attach stage at
+    9.8M rows, r6).  Any other row — and empty text, where
+    ``split('', ' ')`` would yield [""] — falls back to the exact
+    general form, so the two functions are value-identical on every
+    input.  Kept separate from :func:`tokens_expr` because the guard
+    ~doubles the expression tree: free where execution dominates, but a
+    codegen-time tax in the small-query contexts that nest the
+    tokenizer 2-3x (same reasoning as ``mask_template_expr(guards=)``)."""
+    c = F.col(text) if isinstance(text, str) else text
+    tr = F.trim(c)
+    clean = ~(
+        tr.contains("  ")
+        | tr.contains("\t")
+        | tr.contains("\n")
+        | tr.contains("\r")
+        | tr.contains("\x0b")
+        | tr.contains("\x0c")
+    )
+    return F.when(clean & (tr != F.lit("")), F.split(tr, " ")).otherwise(
+        F.array_remove(F.split(tr, r"\s+"), "")
+    )
+
+
 def _mask_token_case(t: Column) -> Column:
     expr = None
     for pattern, mask in MASK_RULES:
@@ -144,16 +173,23 @@ def mask_template_expr(
     # clean rows (measured ~12% off the whole mask pass at 9.8M rows;
     # corpus diff = 0 by construction, pinned by the expr==py fuzz
     # suite).  Java \s is exactly [ \t\n\x0b\f\r] (no UNICODE flag).
+    # Tied to ``guards``: the guard enlarges the tree, which is free in
+    # execution-dominated contexts (the pipeline parse stage) but costs
+    # codegen time in the guards=False small-query contexts where the
+    # tree is nested 2-3x (see the guards note below).
     tr = F.trim(c)
-    clean = ~(
-        tr.contains("  ")
-        | tr.contains("\t")
-        | tr.contains("\n")
-        | tr.contains("\r")
-        | tr.contains("\x0b")
-        | tr.contains("\x0c")
-    )
-    norm = F.when(clean, tr).otherwise(F.regexp_replace(tr, r"\s+", " "))
+    if guards:
+        clean = ~(
+            tr.contains("  ")
+            | tr.contains("\t")
+            | tr.contains("\n")
+            | tr.contains("\r")
+            | tr.contains("\x0b")
+            | tr.contains("\x0c")
+        )
+        norm = F.when(clean, tr).otherwise(F.regexp_replace(tr, r"\s+", " "))
+    else:
+        norm = F.regexp_replace(tr, r"\s+", " ")
     out = F.concat(F.lit(" "), norm, F.lit(" "))
 
     # Pass-skipping guards (r3, scaling item): every rule — default and

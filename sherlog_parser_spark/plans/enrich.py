@@ -26,7 +26,7 @@ from sherlog_parser_spark.functions.masking import (
     event_type_expr,
     normalize_template_expr,
     template_param_meta,
-    tokens_expr,
+    tokens_fast_expr,
 )
 
 
@@ -52,7 +52,7 @@ def enrich_stage(
     ).withColumn("normalized_template", F.col("__normalized"))
     if with_params:
         out = (
-            out.withColumn("__lt", tokens_expr("text"))
+            out.withColumn("__lt", tokens_fast_expr("text"))
             .withColumn("parameters", apply_params_expr(F.col("__lt"), F.col("__pmeta")))
             .drop("__lt")
         )

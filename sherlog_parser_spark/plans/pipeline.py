@@ -51,7 +51,7 @@ from sherlog_parser_spark.functions.masking import (
     apply_params_expr,
     event_type_expr,
     template_param_meta,
-    tokens_expr,
+    tokens_fast_expr,
 )
 from sherlog_parser_spark.plans.aggregate import (
     sink_rollup,
@@ -227,7 +227,7 @@ def run_pipeline(
             "event_type", F.coalesce(F.col("__event_type"), F.lit("UNKNOWN"))
         )
         if with_params:
-            out = out.withColumn("__lt", tokens_expr("text")).withColumn(
+            out = out.withColumn("__lt", tokens_fast_expr("text")).withColumn(
                 "parameters", apply_params_expr(F.col("__lt"), F.col("__pmeta"))
             )
         final_cols = [c for c in ROUTE_COLS if c in out.columns] + ["conv_bucket"]

@@ -5,6 +5,8 @@ token-count mismatches."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -102,8 +104,13 @@ def test_enrich_tokenizes_text_once(spark, parsed_and_dict):
     trap)."""
     parsed, tdict = parsed_and_dict
     plan = enrich_stage(parsed, tdict.df)._jdf.queryExecution().optimizedPlan().toString()
-    # the TEXT tokenization (split(trim(text..)) appears exactly once in
-    # the optimized plan: in the projection that binds __lt.  (The
-    # template-side tokenization on the ≤10^4-row dict may appear more
-    # than once — that's the cheap side.)
-    assert plan.count("split(trim(text") == 1, plan
+    # the TEXT tokenization (split(trim(text..)) appears only inside the
+    # single projection that binds __lt — at most twice lexically (the
+    # two CASE branches of tokens_fast_expr, of which one evaluates per
+    # row) and NEVER inside a lambda body, where it would re-run per
+    # variable position.  (The template-side tokenization on the
+    # ≤10^4-row dict may appear more — that's the cheap side.)
+    assert 1 <= plan.count("split(trim(text") <= 2, plan
+    # the params lambda must index into the BOUND array attribute
+    # (element_at(__lt#N, ...)), not a re-tokenizing expression tree
+    assert re.search(r"element_at\(__lt#\d+", plan), plan

@@ -57,6 +57,33 @@ def test_mask_expr_guardless_equals_guarded(spark, transcripts):
     assert mism == 0
 
 
+def test_tokens_fast_expr_equals_tokens_expr(spark, transcripts):
+    """tokens_fast_expr (clean-row literal-space split, r6) must be
+    value-identical to tokens_expr on real transcripts AND on every
+    whitespace edge class (empty, all-space, tabs/newlines at edges and
+    interior, double spaces, NBSP which is NOT Java \\s)."""
+    from sherlog_parser_spark.functions.masking import tokens_expr, tokens_fast_expr
+
+    edge = spark.createDataFrame(
+        [(t,) for t in [
+            "", " ", "  ", "\t", "a", " a ", "a b", "a  b", "\ta\tb\t",
+            "a\nb", "\n", "x\x0by\x0cz", "a\r\nb", "\xa0", "a\xa0b",
+            "end\t", "\tstart", "a   b  c", None,
+        ]],
+        "text string",
+    )
+    for frame in (edge, transcripts):
+        mism = (
+            frame.select(
+                tokens_expr("text").alias("a"),
+                tokens_fast_expr("text").alias("b"),
+            )
+            .filter(F.expr("a IS DISTINCT FROM b"))
+            .count()
+        )
+        assert mism == 0
+
+
 def test_mask_udf_matches_expr(spark, transcripts):
     udf = make_masked_template_udf()
     mism = (
