@@ -54,6 +54,28 @@ def _logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logs_view(_read(spark, sf_dir, "events"))
 
 
+def _fan(df: DataFrame) -> DataFrame:
+    """Scale-adaptive scan fan-out (guide §2.2).  The local sf parquet
+    tables are single files under one row group, so Spark scans them as
+    ONE split and every scan-stage computation (mask chains, shingle
+    explodes, interpreted HOF stats, Arrow UDF batches) runs on a single
+    core regardless of the master's parallelism.  Round-robin
+    repartition to defaultParallelism spreads that work; the guard makes
+    it a NO-OP whenever the scan already has at least that many splits —
+    i.e. any real-scale input — so nothing here is tuned to local mode.
+
+    Applied ONLY to queries whose results are partition- and
+    order-invariant: per-row projections, integer/md5 aggregates,
+    quantized-int sums, total-ordered limits.  Queries with raw float
+    aggregation (pricing_summary-style) keep their scan partitioning so
+    their left-associative sum order stays file order, matching the
+    DuckDB oracle."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -69,7 +91,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_template_freq(spark, sf_dir):
-    logs = _logs(spark, sf_dir)
+    logs = _fan(_logs(spark, sf_dir))
     return (
         # guards=False (r6): the guarded chain embeds the chain-so-far in
         # both CASE branches (~5x tree) and costs ~1s extra codegen per
@@ -102,7 +124,7 @@ def q_normalized_templates(spark, sf_dir):
 
 
 def q_param_extract(spark, sf_dir):
-    logs = _logs(spark, sf_dir).filter(F.col("event_id") < 1000)
+    logs = _fan(_logs(spark, sf_dir).filter(F.col("event_id") < 1000))
     # guards=False: the template expression is re-tokenized twice inside
     # extract_params_expr, so the guarded (~5x larger) tree would cost
     # seconds of per-query analysis+codegen for a 1000-row input (this was
@@ -349,7 +371,7 @@ def q_unicode_nfc(spark, sf_dir):
     sequences ('e'+U+0301 / U+0300) next to their precomposed forms, so
     the md5 only matches if NFC actually collapses them; char counts
     before/after expose the collapse."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _fan(_read(spark, sf_dir, "documents"))
     d = F.col("doc_id")
     comb = F.when(d % 2 == 0, F.lit("\u0301")).otherwise(F.lit("\u0300"))
     pre = F.when(d % 2 == 0, F.lit("\u00e9")).otherwise(F.lit("\u00e8"))
@@ -439,17 +461,17 @@ def q_exact_dedup(spark, sf_dir):
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents")
+    docs = _fan(_read(spark, sf_dir, "documents"))
     return DD.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2, max_df=100)
 
 
 def q_minhash_candidates(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents")
+    docs = _fan(_read(spark, sf_dir, "documents"))
     return DD.minhash_dup_candidates(docs, "text", "doc_id", n=3, k=8, bands=4)
 
 
 def q_simhash(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = _fan(_read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
     return DD.simhash64(docs, "text", "doc_id")
 
 
@@ -502,6 +524,10 @@ def q_ann_topk(spark, sf_dir):
     }
     qv = rows[0]
     centroids = [list(map(float, rows[i])) for i in range(1, 17)]
+    # _fan AFTER the 17-row probe collect (which is cheapest on the raw
+    # scan): the per-vector interpreted cosine folds of all three
+    # branches are the heavy part
+    emb = _fan(emb)
     brute = SIM.brute_force_topk(emb, qv, k=10, exclude_id=0).select(
         F.lit("brute").alias("method"), "vec_id", "cos"
     )
@@ -532,6 +558,7 @@ def q_semdedup_keep(spark, sf_dir):
         for r in emb.filter(F.col("vec_id").between(1, 8)).collect()
     }
     centroids = [list(map(float, crows[i])) for i in range(1, 9)]
+    emb = _fan(emb)
     # persist=True (r6): `base` (assignment + cent_q + norms, all
     # interpreted 64-dim folds) is consumed by the skew guard, both pair
     # sides and two output joins — persisting runs those folds once per
@@ -605,7 +632,7 @@ def q_text_stats(spark, sf_dir):
     doc_id.  Merged from the r3-r4 ``text_stats`` + ``repetition_stats``
     entries (driver 50-row cap, see q_numeric_outliers); both halves
     keep their full value oracles."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _fan(_read(spark, sf_dir, "documents"))
     # quality is emitted as floor(q*1e4 + 0.5) — an integer — because
     # round() semantics diverge between engines exactly when q is a finite
     # decimal (Spark rounds the binary double, DuckDB the decimal repr)
@@ -702,7 +729,7 @@ def _synth_multiline(spark, sf_dir):
     """Deterministic multi-line rebuild of the single-line fixture docs:
     6-word lines with terminal punctuation cycling '.'/''/'?' by line
     index — built identically in the oracle SQL."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _fan(_read(spark, sf_dir, "documents"))
     toks = F.array_remove(F.split(F.col("text"), " "), "")
     d = docs.withColumn("_tk", toks).withColumn(
         "_nl", F.expr("cast((size(_tk) + 5) div 6 as int)")
@@ -770,7 +797,7 @@ def q_dsir_weights(spark, sf_dir):
         train_dsir_shared,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _fan(_read(spark, sf_dir, "documents"))
     # r6: ONE tokenize+hash+explode pass feeds both model fits and the
     # scoring join (was 3+ corpus-wide explode passes).  Count-exact
     # identical to train_dsir(docs, filter) + dsir_scores(docs, model);
@@ -790,7 +817,7 @@ def q_pii_redaction(spark, sf_dir):
     are per-family on the decorated text, redaction is md5'd."""
     from sherlog_parser_spark.functions import pii as PII
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _fan(_read(spark, sf_dir, "documents"))
     d = F.col("doc_id")
     decorated = F.concat(
         F.col("text"),
@@ -814,7 +841,7 @@ def q_vocab_top_tokens(spark, sf_dir):
     token, top-100.  The explode -> hash-groupBy shape map-side-combines;
     at 100 TB this is the canonical vocab-building job (token cardinality
     << corpus size, so the shuffle is tiny)."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _fan(_read(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(TS._tokens("text")).alias("token"))
     return (
         toks.groupBy("token")
@@ -830,7 +857,7 @@ def q_crossdoc_repeated_ngrams(spark, sf_dir):
     hash-groupBy, keep spans seen in >1 document.  md5 here for the
     oracle; the at-scale swap is xxhash64 (same note as minhash,
     operators/dedup.py)."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _fan(_read(spark, sf_dir, "documents"))
     sh = docs.select(
         "doc_id", F.explode(TS.word_shingles_expr("text", 4)).alias("s")
     )
@@ -879,7 +906,7 @@ def q_substring_dedup_apply(spark, sf_dir):
     stage (r3 judge item #1): detection -> application.  Pure JVM HOFs
     over arrays bound as attributes; the per-doc span aggregate is
     bounded by tokens-per-doc, never corpus size."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _fan(_read(spark, sf_dir, "documents"))
     return DD.substring_dedup_cut(docs, n=4, min_docs=2).orderBy("doc_id")
 
 
@@ -1090,7 +1117,7 @@ def q_decontaminate(spark, sf_dir):
     genuinely SMALL side in this file — real eval suites are MBs — so
     the explicit broadcast is correct at any corpus scale; the train
     side never shuffles (map-side hash semi-join + partial agg)."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _fan(_read(spark, sf_dir, "documents"))
     bench_sh = (
         docs.filter(F.col("doc_id") % 50 == 0)
         .select(F.explode(TS.word_shingles_expr("text", 4)).alias("s"))

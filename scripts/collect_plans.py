@@ -64,7 +64,7 @@ def main() -> None:
                 apply_params_expr,
                 event_type_expr,
                 template_param_meta,
-                tokens_expr,
+                tokens_fast_expr,
             )
             from sherlog_parser_spark.plans.route import ROUTE_COLS, route_cols
 
@@ -91,7 +91,7 @@ def main() -> None:
                 .withColumn(
                     "event_type", F.coalesce(F.col("__event_type"), F.lit("UNKNOWN"))
                 )
-                .withColumn("__lt", tokens_expr("text"))
+                .withColumn("__lt", tokens_fast_expr("text"))
                 .withColumn(
                     "parameters", apply_params_expr(F.col("__lt"), F.col("__pmeta"))
                 )

@@ -521,9 +521,23 @@ def run_curation_pipeline(
     if manifest.run_fingerprint() is None:
         manifest.commit_run(run_fp)
 
+    # Scale-adaptive scan fan-out (guide §2.2, r6): a small local input
+    # arrives as ONE parquet split, so every narrow stage of the DAG
+    # (line rules, shingle explodes, quality exprs) would run on a
+    # single core.  Round-robin to defaultParallelism, a no-op branch
+    # whenever the scan already has that many splits (any real-scale
+    # input).  The DAG is partition-invariant by construction — pinned
+    # by the multi-executor parity check (local-cluster[4,4] ==
+    # local[16] fates + cleaned-sink fingerprint).  Applied AFTER the
+    # run fingerprint so resume identity is unchanged.
+    n_par = spark.sparkContext.defaultParallelism
+    fan_docs = docs
+    if fan_docs.rdd.getNumPartitions() < n_par:
+        fan_docs = fan_docs.repartition(n_par)
+
     dag_persists: list = []
     cleaned, ledger = curation_dag(
-        docs, bench_docs=bench_docs, persist_registry=dag_persists, **dag_kwargs
+        fan_docs, bench_docs=bench_docs, persist_registry=dag_persists, **dag_kwargs
     )
     bucketed = cleaned.withColumn(
         "doc_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets))
