@@ -338,14 +338,20 @@ def extract_params_expr(text: Column | str, template: Column | str) -> Column:
 
 def template_param_meta(template: Column | str) -> Column:
     """Per-TEMPLATE parameter-extraction metadata (r6 optimization):
-    ``struct<n_toks:int, vars:array<struct<idx:int, key:string>>>`` —
-    the template's token count plus (position, precomputed map key) for
-    every variable token.  Everything here is functionally dependent on
-    the template string, so the enrich stage computes it once per
-    DICTIONARY row (≤10^4) and broadcasts it, instead of re-tokenizing
-    the template and running regexp_extract per CORPUS row (10^7+).
-    :func:`apply_params_expr` is the per-row counterpart; the pair is
-    pinned equal to :func:`extract_params_expr` by tests."""
+    ``struct<n_toks:int, keys:array<string>, idxs:array<int>>`` — the
+    template's token count plus the precomputed map keys and token
+    positions of every variable token (parallel arrays).  Everything
+    here is functionally dependent on the template string, so the
+    enrich stage computes it once per DICTIONARY row (≤10^4) and
+    broadcasts it, instead of re-tokenizing the template and running
+    regexp_extract per CORPUS row (10^7+).  Parallel arrays rather than
+    an array<struct> (late r6): the row side then runs ONE int-gather
+    transform + ``map_from_arrays`` instead of a struct-building
+    transform + ``map_from_entries`` — interpreted-lambda work per row
+    halves (measured ~10% off the route-attach stage; same pairs in
+    the same order ⇒ identical map).  :func:`apply_params_expr` is the
+    per-row counterpart; the pair is pinned equal to
+    :func:`extract_params_expr` by tests."""
     tt = tokens_expr(template)
     var_type = lambda t: F.regexp_extract(t, VAR_TOKEN_PATTERN, 1)  # noqa: E731
     tagged = F.filter(
@@ -361,10 +367,11 @@ def template_param_meta(template: Column | str) -> Column:
         ),
         lambda s: s["is_var"],
     )
-    vars_ = F.transform(
-        tagged, lambda s: F.struct(s["idx"].alias("idx"), s["key"].alias("key"))
+    return F.struct(
+        F.size(tt).alias("n_toks"),
+        F.transform(tagged, lambda s: s["key"]).alias("keys"),
+        F.transform(tagged, lambda s: s["idx"]).alias("idxs"),
     )
-    return F.struct(F.size(tt).alias("n_toks"), vars_.alias("vars"))
 
 
 def apply_params_expr(text_tokens: Column, meta: Column) -> Column:
@@ -376,16 +383,12 @@ def apply_params_expr(text_tokens: Column, meta: Column) -> Column:
     template).  ``text_tokens`` MUST be a bound attribute column, never
     a raw expression tree (interpreted HOF lambdas re-evaluate outer
     trees per element)."""
-    entries = F.transform(
-        meta["vars"],
-        lambda s: F.struct(
-            s["key"].alias("key"),
-            F.element_at(text_tokens, s["idx"] + F.lit(1)).alias("value"),
-        ),
+    vals = F.transform(
+        meta["idxs"], lambda i: F.element_at(text_tokens, i + F.lit(1))
     )
     empty = F.map_from_entries(F.array().cast("array<struct<key:string,value:string>>"))
     return F.when(
-        F.size(text_tokens) == meta["n_toks"], F.map_from_entries(entries)
+        F.size(text_tokens) == meta["n_toks"], F.map_from_arrays(meta["keys"], vals)
     ).otherwise(empty)
 
 
